@@ -1,0 +1,177 @@
+"""Sharded rendering via `shard_map` over a device mesh.
+
+Parallelization axes (SURVEY.md §2.9):
+  * ``dp`` — pixels sharded across chips (each chip renders a pixel block),
+  * ``sp`` — samples-per-pixel sharded; partial radiance psum'd over ICI,
+  * ``tp`` — scene/primitive sharding with collective closest-hit
+    (parallel/scene_shard.py).
+
+The per-chip body is the same wavefront integrator as single-chip rendering;
+only the hit function and the final reductions differ. With identical seeds
+the sharded render is bit-identical to the single-device render (RNG is
+counter-based on global pixel/sample ids — see core/rng.py), which is the
+key invariant tested in tests/test_parallel.py.
+
+The reference has no distributed anything (single thread, camera.hpp:40-67);
+this module is designed from the BASELINE.json scaling targets.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.intersect import closest_hit_brute
+from ..render import camera as cam_mod
+from ..render.camera import CameraConfig, CameraParams
+from ..render.integrator import trace
+from ..scene.types import Scene
+from .scene_shard import closest_hit_scene_sharded, shard_scene_primitives
+
+
+def _device_render(
+    scene: Scene,
+    params: CameraParams,
+    pixel_ids: jnp.ndarray,  # (P_local,) this chip's pixels
+    seed: jnp.ndarray,
+    *,
+    cfg: CameraConfig,
+    spp_local: int,
+    tp_axis: Optional[str],
+    sp_axis: Optional[str],
+    hit_method: str,
+    mode: str,
+):
+    sample0 = jnp.int32(0)
+    if sp_axis is not None:
+        sample0 = jax.lax.axis_index(sp_axis).astype(jnp.int32) * spp_local
+    p_local = pixel_ids.shape[0]
+    pix = jnp.tile(pixel_ids, spp_local)
+    samp = sample0 + jnp.repeat(jnp.arange(spp_local, dtype=jnp.int32), p_local)
+
+    derived = cam_mod.derive(cfg, params)
+    o, d, t = cam_mod.generate_rays(
+        cfg, derived, pix, samp, seed, motion_blur=scene.flags.has_moving
+    )
+
+    if tp_axis is not None:
+        hit_fn = partial(closest_hit_scene_sharded, axis=tp_axis)
+    elif hit_method == "bvh":
+        from ..ops.traverse import closest_hit_bvh
+
+        hit_fn = closest_hit_bvh
+    else:
+        hit_fn = closest_hit_brute
+
+    radiance, segments = trace(
+        scene,
+        o,
+        d,
+        t,
+        pix,
+        samp,
+        jnp.asarray(cfg.background, jnp.float32),
+        cfg.max_depth,
+        seed,
+        hit_fn=hit_fn,
+        mode=mode,
+    )
+    valid = (samp < cfg.samples_per_pixel)[:, None]
+    radiance = jnp.where(valid, radiance, 0.0)
+    part = radiance.reshape(spp_local, p_local, 3).sum(axis=0)
+
+    # Reduce over sample shards; gradients flow through this psum (the
+    # "grad all-reduce" of the differentiable path).
+    if sp_axis is not None:
+        part = jax.lax.psum(part, sp_axis)
+        segments = jax.lax.psum(segments, sp_axis)
+    if tp_axis is not None:
+        part = jax.lax.pmean(part, tp_axis)  # already replicated; assert it
+        segments = jax.lax.pmean(segments, tp_axis)
+    return part, segments
+
+
+def build_sharded_renderer(
+    scene: Scene,
+    cfg: CameraConfig,
+    mesh: Mesh,
+    *,
+    hit_method: str = "brute",
+    mode: str = "scan",
+):
+    """Compile a mesh-sharded render function.
+
+    Returns ``(fn, scene_prepared)`` where
+    ``fn(scene_prepared, params, seed) -> (radiance (n_pix_pad, 3) sample-sum,
+    segments)`` and pixels are sharded over ``dp``.
+    """
+    axis_names = mesh.axis_names
+    dp = "dp" if "dp" in axis_names else None
+    tp = "tp" if "tp" in axis_names else None
+    sp = "sp" if "sp" in axis_names else None
+    assert dp is not None, "mesh must have a 'dp' axis"
+    ndp = mesh.shape[dp]
+    ntp = mesh.shape.get(tp, 1) if tp else 1
+    nsp = mesh.shape.get(sp, 1) if sp else 1
+
+    if tp:
+        scene = shard_scene_primitives(scene, ntp)
+
+    spp_local = -(-cfg.samples_per_pixel // nsp)
+    n_pix_pad = -(-cfg.n_pixels // ndp) * ndp
+
+    # PartitionSpec pytrees
+    scene_spec = jax.tree.map(lambda _: P(), scene)
+    if tp:
+        scene_spec = scene_spec.replace(
+            spheres=jax.tree.map(lambda _: P(tp), scene.spheres),
+            quads=jax.tree.map(lambda _: P(tp), scene.quads),
+        )
+    params_spec = jax.tree.map(lambda _: P(), CameraParams.from_config(cfg))
+
+    body = partial(
+        _device_render,
+        cfg=cfg,
+        spp_local=spp_local,
+        tp_axis=tp,
+        sp_axis=sp,
+        hit_method=hit_method,
+        mode=mode,
+    )
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(scene_spec, params_spec, P(dp), P()),
+        out_specs=(P(dp), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn), scene, n_pix_pad
+
+
+def render_sharded(
+    scene: Scene,
+    cfg: CameraConfig,
+    mesh: Mesh,
+    params: Optional[CameraParams] = None,
+    seed: int = 0,
+    *,
+    hit_method: str = "brute",
+    mode: str = "scan",
+):
+    """One-shot sharded render → ((H, W, 3) mean radiance, segments)."""
+    fn, scene_prep, n_pix_pad = build_sharded_renderer(
+        scene, cfg, mesh, hit_method=hit_method, mode=mode
+    )
+    if params is None:
+        params = CameraParams.from_config(cfg)
+    pixel_ids = jnp.minimum(
+        jnp.arange(n_pix_pad, dtype=jnp.int32), cfg.n_pixels - 1
+    )
+    part, segments = fn(scene_prep, params, pixel_ids, jnp.uint32(seed))
+    mean = np.asarray(part)[: cfg.n_pixels] / cfg.samples_per_pixel
+    return mean.reshape(cfg.image_height, cfg.image_width, 3), int(segments)

@@ -1,0 +1,221 @@
+"""Top-level render driver: batches (pixel-block × sample-chunk) launches of
+the jitted wavefront integrator and accumulates radiance.
+
+This is the TPU replacement for the reference's triple render loop
+(src/core/camera.hpp:40-67): the pixel and sample loops become one megabatch
+ray dimension per launch; the bounce recursion is the integrator's scan.
+Chunking bounds device memory for arbitrarily large (W·H·spp) workloads and
+gives natural checkpoint/resume boundaries (SURVEY.md §5 checkpoint/resume).
+"""
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.color import to_u8_image
+from ..ops.intersect import closest_hit_brute
+from ..scene.types import Scene
+from . import camera as cam_mod
+from .camera import CameraConfig, CameraParams
+from .integrator import trace
+
+
+@dataclass
+class RenderResult:
+    radiance: np.ndarray  # (H, W, 3) f32 mean radiance
+    segments: int         # total ray-scene queries traced
+    seconds: float        # wall-clock render time (excludes compile)
+    launches: int
+
+    @property
+    def image_u8(self) -> np.ndarray:
+        return np.asarray(to_u8_image(jnp.asarray(self.radiance)))
+
+
+def _pick_hit_fn(scene: Scene, method: str) -> Callable:
+    if method == "brute":
+        return closest_hit_brute
+    if method == "bvh" or (method == "auto" and scene.bvh is not None and scene.n_primitives > 64):
+        if scene.bvh is None:
+            raise ValueError("scene was compiled without a BVH")
+        from ..ops.traverse import closest_hit_bvh
+
+        return closest_hit_bvh
+    return closest_hit_brute
+
+
+def _render_chunk(
+    scene: Scene,
+    params: CameraParams,
+    pixel_start: jnp.ndarray,   # () i32 — first pixel of the block
+    sample_start: jnp.ndarray,  # () i32 — first sample of the chunk
+    seed: jnp.ndarray,          # () u32
+    *,
+    cfg: CameraConfig,
+    n_block: int,
+    spp_chunk: int,
+    hit_fn: Callable,
+    mode: str,
+    remat: bool,
+):
+    """One launch: n_block contiguous pixels × spp_chunk samples.
+    Returns (block radiance *sum* over the chunk's samples (n_block, 3),
+    segments traced ())."""
+    derived = cam_mod.derive(cfg, params)
+    pix = pixel_start + jnp.arange(n_block, dtype=jnp.int32)
+    pix = jnp.minimum(pix, cfg.n_pixels - 1)          # clamp tail padding
+    pixel_ids = jnp.tile(pix, spp_chunk)              # (B,)
+    sample_ids = sample_start + jnp.repeat(
+        jnp.arange(spp_chunk, dtype=jnp.int32), n_block
+    )
+    o, d, t = cam_mod.generate_rays(
+        cfg, derived, pixel_ids, sample_ids, seed, motion_blur=scene.flags.has_moving
+    )
+    radiance, segments = trace(
+        scene,
+        o,
+        d,
+        t,
+        pixel_ids,
+        sample_ids,
+        jnp.asarray(cfg.background, jnp.float32),
+        cfg.max_depth,
+        seed,
+        hit_fn=hit_fn,
+        mode=mode,
+        remat=remat,
+    )
+    # Mask samples past spp (tail of the last sample chunk).
+    valid = (sample_ids < cfg.samples_per_pixel)[:, None]
+    radiance = jnp.where(valid, radiance, 0.0)
+    return radiance.reshape(spp_chunk, n_block, 3).sum(axis=0), segments
+
+
+class Renderer:
+    """Caches the compiled chunk function across calls for a given
+    (scene structure, camera config, batching plan)."""
+
+    def __init__(
+        self,
+        cfg: CameraConfig,
+        *,
+        hit_method: str = "auto",
+        mode: str = "scan",
+        remat: bool = False,
+        max_rays_per_launch: int = 1 << 20,
+    ):
+        self.cfg = cfg
+        self.hit_method = hit_method
+        self.mode = mode
+        self.remat = remat
+        n_pix = cfg.n_pixels
+        if n_pix <= max_rays_per_launch:
+            self.n_block = n_pix
+            self.spp_chunk = max(1, min(cfg.samples_per_pixel, max_rays_per_launch // n_pix))
+        else:
+            self.n_block = max_rays_per_launch
+            self.spp_chunk = 1
+        self._compiled = None
+
+    def _get_compiled(self, scene: Scene):
+        if self._compiled is None:
+            fn = partial(
+                _render_chunk,
+                cfg=self.cfg,
+                n_block=self.n_block,
+                spp_chunk=self.spp_chunk,
+                hit_fn=_pick_hit_fn(scene, self.hit_method),
+                mode=self.mode,
+                remat=self.remat,
+            )
+            self._compiled = jax.jit(fn)
+        return self._compiled
+
+    def render(
+        self,
+        scene: Scene,
+        params: Optional[CameraParams] = None,
+        seed: int = 0,
+        progress: bool = False,
+        resume_state: Optional[dict] = None,
+        checkpoint_cb: Optional[Callable[[dict], None]] = None,
+    ) -> RenderResult:
+        cfg = self.cfg
+        if params is None:
+            params = CameraParams.from_config(cfg)
+        fn = self._get_compiled(scene)
+        seed_arr = jnp.uint32(seed)
+
+        n_pix = cfg.n_pixels
+        n_blocks = -(-n_pix // self.n_block)
+        n_schunks = -(-cfg.samples_per_pixel // self.spp_chunk)
+
+        accum = jnp.zeros((n_blocks * self.n_block, 3), jnp.float32)
+        segments = 0
+        launches = 0
+        start_schunk = 0
+        if resume_state is not None:
+            accum = jnp.asarray(resume_state["accum"])
+            segments = int(resume_state["segments"])
+            start_schunk = int(resume_state["schunk"])
+
+        # Warm-up compile outside the timed region.
+        fn(scene, params, jnp.int32(0), jnp.int32(0), seed_arr)[0].block_until_ready()
+        t0 = _time.perf_counter()
+        for s in range(start_schunk, n_schunks):
+            for b in range(n_blocks):
+                rad, seg = fn(
+                    scene,
+                    params,
+                    jnp.int32(b * self.n_block),
+                    jnp.int32(s * self.spp_chunk),
+                    seed_arr,
+                )
+                accum = accum.at[b * self.n_block : (b + 1) * self.n_block].add(rad)
+                segments += int(seg)
+                launches += 1
+            if progress:
+                print(f"\rsample chunks remaining: {n_schunks - s - 1} ", end="", flush=True)
+            if checkpoint_cb is not None:
+                checkpoint_cb(
+                    {"accum": np.asarray(accum), "segments": segments, "schunk": s + 1}
+                )
+        accum.block_until_ready()
+        seconds = _time.perf_counter() - t0
+        if progress:
+            print("\rDone.                        ", flush=True)
+
+        mean = np.asarray(accum[:n_pix]) / cfg.samples_per_pixel
+        return RenderResult(
+            radiance=mean.reshape(cfg.image_height, cfg.image_width, 3),
+            segments=segments,
+            seconds=seconds,
+            launches=launches,
+        )
+
+
+def render(
+    scene: Scene,
+    cfg: CameraConfig,
+    params: Optional[CameraParams] = None,
+    seed: int = 0,
+    hit_method: str = "auto",
+    mode: str = "scan",
+    remat: bool = False,
+    max_rays_per_launch: int = 1 << 20,
+    progress: bool = False,
+) -> RenderResult:
+    """One-shot functional API over :class:`Renderer`."""
+    return Renderer(
+        cfg,
+        hit_method=hit_method,
+        mode=mode,
+        remat=remat,
+        max_rays_per_launch=max_rays_per_launch,
+    ).render(scene, params, seed, progress=progress)

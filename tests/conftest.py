@@ -1,0 +1,16 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so all
+sharding/collective paths are exercised without TPU hardware (SURVEY.md §4.4).
+
+Note: this environment pins JAX_PLATFORMS=axon through sitecustomize, so the
+platform switch must go through jax.config, and XLA_FLAGS must be set before
+the CPU backend is first initialized.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,88 @@
+"""Golden-image tests: the JAX wavefront renderer vs the independent NumPy
+float64 recursive oracle, with identical RNG streams (SURVEY.md §4.2, §7
+numerical-parity policy, "recorded RNG stream" mode).
+
+Because both implementations make bit-identical sampling *decisions*, the
+images agree pixel-for-pixel up to f32-vs-f64 accumulation error — except
+for the rare rays where a discrete decision (Fresnel coin, metal absorb,
+root select) flips at the f32 boundary. The assertions bound both the bulk
+error and the outlier fraction.
+"""
+import numpy as np
+import pytest
+
+from oracle import OracleRenderer
+
+from raytracing_tpu.models.scenes import build
+from raytracing_tpu.render.renderer import render
+
+
+def _compare(name, scene_kwargs=None, cam_overrides=None, seed=3,
+             mean_tol=2e-3, outlier_frac=0.02, hit_method="brute"):
+    overrides = dict(image_width=64, samples_per_pixel=4, max_depth=5)
+    overrides.update(cam_overrides or {})
+    scene, cfg = build(name, **(scene_kwargs or {}), **overrides)
+    got = render(scene, cfg, seed=seed, hit_method=hit_method).radiance
+    want = OracleRenderer(scene, cfg, seed=seed).render()
+    diff = np.abs(got - want)
+    assert diff.mean() < mean_tol, f"mean diff {diff.mean()}"
+    frac_bad = (diff.max(axis=-1) > 0.05).mean()
+    assert frac_bad < outlier_frac, f"outlier fraction {frac_bad}"
+
+
+class TestGolden:
+    def test_single_sphere(self):
+        _compare("single_sphere")
+
+    def test_three_spheres(self):
+        # metal + dielectric stochastic branches
+        _compare("three_spheres")
+
+    def test_quads(self):
+        _compare("quads")
+
+    def test_checkered_spheres(self):
+        _compare("checkered_spheres")
+
+    def test_perlin_sphere(self):
+        # Looser bulk tolerance: 7-octave turbulence at scale 4 on a r=1000
+        # ground sphere evaluates noise at coords ~6e4 where f32 has ~4e-3
+        # resolution — the f32 marble legitimately diverges from the f64
+        # oracle there (sin amplifies by the 10x turb factor).
+        _compare(
+            "perlin_sphere",
+            cam_overrides=dict(image_width=32, samples_per_pixel=2),
+            mean_tol=8e-3,
+        )
+
+    def test_simple_light(self):
+        # emission + black background path
+        _compare("simple_light")
+
+    def test_cornell_box(self):
+        _compare(
+            "cornell_box",
+            cam_overrides=dict(image_width=32, samples_per_pixel=4, max_depth=6),
+        )
+
+    def test_bouncing_spheres_with_bvh_and_defocus(self):
+        # full feature stack: BVH traversal, motion blur, defocus, checker
+        _compare(
+            "bouncing_spheres",
+            cam_overrides=dict(image_width=48, samples_per_pixel=2, max_depth=5),
+            hit_method="bvh",
+            outlier_frac=0.03,
+        )
+
+    def test_while_mode_matches_scan(self):
+        scene, cfg = build("three_spheres", image_width=64, samples_per_pixel=4, max_depth=5)
+        a = render(scene, cfg, seed=1, mode="scan").radiance
+        b = render(scene, cfg, seed=1, mode="while").radiance
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_seed_changes_noise_not_signal(self):
+        scene, cfg = build("single_sphere", image_width=64, samples_per_pixel=8)
+        a = render(scene, cfg, seed=1).radiance
+        b = render(scene, cfg, seed=2).radiance
+        assert np.abs(a - b).max() > 1e-4       # different noise
+        assert np.abs(a.mean() - b.mean()) < 5e-3  # same signal
