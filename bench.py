@@ -21,7 +21,7 @@ import time
 BASELINE_RAYS_PER_S = 5e8
 
 
-def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("bvh", "brute")):
+def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,513 @@
+"""Pallas TPU wavefront megakernel: the full per-bounce pipeline —
+intersect → shade → scatter → RNG — with the entire scene resident in VMEM
+and the bounce loop inside the kernel.
+
+Architecture (v2 — pairwise/chunked; see /opt/skills/guides/pallas_guide.md):
+
+* A tile is 128 rays; per-ray state lives in ``(1, 128)`` rows (rays on
+  lanes). The grid iterates ray tiles.
+* The scene is one unified primitive table ``(P, 128)`` in VMEM — primitives
+  on sublanes, fields on lanes (scene/flatten.py unified_table). The
+  intersection loop processes primitives in chunks of 8 with *static* lane
+  indexing and 8-aligned sublane slices only: chunk fields broadcast
+  ``(8, 1)`` against ray rows ``(1, 128)`` giving pairwise ``(8, 128)``
+  candidate blocks — pure f32 VPU, no scalar loads, no gathers, no MXU in
+  the precision-critical path.
+* Closest hit carries only (t_best, winner index) per ray. The winner's
+  shading/geometry attributes are then resolved with ONE small matmul:
+  table ``(P, 128 fields)`` contracted with a one-hot ``(P, 128 rays)`` on
+  the MXU at ``Precision.HIGHEST`` (multi-pass bf16 ≈ f32; one-hot entries
+  are exact so no precision is lost).
+* The bounce loop is an in-kernel ``while_loop`` that exits when every ray
+  in the tile is dead (reference recursion cap + absorb/miss termination,
+  camera.hpp:183-231).
+* RNG is the same PCG4D counter hash as core/rng.py, evaluated in-kernel on
+  u32 lanes — sampling decisions match the XLA wavefront integrator.
+
+Mosaic gotchas encoded here (each found the hard way on v5e):
+  * no u32→f32 casts (route through i32),
+  * no select on bool operands / bool loop carries (carry f32 masks),
+  * constant-initialized loop carries get pinned to replicated register
+    layouts — initialize from a VMEM round-trip,
+  * dynamic indexing must be 8-aligned on sublanes and is impossible on
+    lanes (hence the chunked, transposed table layout),
+  * per-primitive scalar loads from SMEM stall the vector pipeline (the v1
+    design ran at ~5e5 rays/s); everything here is vector slices.
+
+This is the forward/throughput path; gradients use the XLA integrator
+(render/integrator.py). Scenes with image/noise textures fall back to the
+XLA path (``supported``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene import flatten as fl
+from ..scene.types import Scene
+
+TILE = 128          # rays per row group (lane count)
+GROUPS = 8          # row groups per grid step (block sublane minimum)
+BLOCK = TILE * GROUPS  # 1024 rays per grid step
+CHUNK = 8           # primitives per pairwise block
+
+BIG = 3.0e38
+T_MIN = 1e-3
+
+MT_METAL = 1.0
+MT_DIELECTRIC = 2.0
+MT_LIGHT = 3.0
+
+
+class MegaScene(NamedTuple):
+    table: jnp.ndarray   # (P, 128) unified primitive table (prims × fields)
+    n_sph_pad: int       # sphere columns occupy rows [0, n_sph_pad)
+    n_prims: int         # total rows P (multiple of CHUNK)
+    supported: bool
+
+
+def build_mega_scene(scene: Scene) -> MegaScene:
+    table, ns_pad, _nq, supported = fl.unified_table(scene, chunk=CHUNK)
+    # kernel layout: primitives on sublanes, fields on lanes (padded to 128)
+    t = np.zeros((table.shape[1], TILE), np.float32)
+    t[:, : table.shape[0]] = np.asarray(table).T
+    return MegaScene(
+        table=jnp.asarray(t),
+        n_sph_pad=ns_pad,
+        n_prims=table.shape[1],
+        supported=supported,
+    )
+
+
+def _pcg4d(a, b, c, d):
+    mul = jnp.uint32(1664525)
+    add = jnp.uint32(1013904223)
+    v0 = a * mul + add
+    v1 = b * mul + add
+    v2 = c * mul + add
+    v3 = d * mul + add
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    v0 = v0 ^ (v0 >> 16)
+    v1 = v1 ^ (v1 >> 16)
+    v2 = v2 ^ (v2 >> 16)
+    v3 = v3 ^ (v3 >> 16)
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    return v0, v1, v2, v3
+
+
+def _u01(x):
+    # Mosaic has no u32→f32 cast; the top-24-bit value fits an i32 exactly.
+    return (x >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def make_megakernel(mega: MegaScene, *, max_depth: int, background,
+                    tmin: float = T_MIN, interpret: bool = False):
+    """Returns ``fn(table, rays...) -> (rad_r, rad_g, rad_b, bounces)`` on
+    ``(n_tiles, 128)`` ray component arrays."""
+    n_prims = mega.n_prims
+    ns_pad = mega.n_sph_pad
+    n_chunks = n_prims // CHUNK
+    sph_chunks = ns_pad // CHUNK
+    bg_r, bg_g, bg_b = (float(background[0]), float(background[1]), float(background[2]))
+    U = fl
+
+    def kernel(tab_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+               pix_ref, smp_ref, seed_ref,
+               rr_ref, rg_ref, rb_ref, bc_ref,
+               oh_ref, zref):
+        seed = seed_ref[0]
+
+        # non-constant-foldable carry seeds (see module docstring)
+        zref[:] = jnp.zeros((1, TILE), jnp.float32)
+        zero = zref[:]
+        one = zero + 1.0
+
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 0).astype(
+            jnp.float32
+        )  # (8, 128): 0..7 down the sublanes
+
+        ox_blk = ox_ref[:]
+        oy_blk = oy_ref[:]
+        oz_blk = oz_ref[:]
+        dx_blk = dx_ref[:]
+        dy_blk = dy_ref[:]
+        dz_blk = dz_ref[:]
+        tm_blk = tm_ref[:]
+        pix_blk = pix_ref[:].astype(jnp.uint32)
+        smp_blk = smp_ref[:].astype(jnp.uint32)
+
+        def fld(blk, f):
+            """(8, 1) field column of an (8, 128) table chunk."""
+            return blk[:, f:f + 1]
+
+        def intersect(ox, oy, oz, dx, dy, dz, tmv):
+            """Closest hit. Returns (t (1,128), idx (1,128) f32; idx<0 = miss)."""
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+
+            def sph_chunk(k, carry):
+                tb, ib = carry
+                blk = tab_ref[pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK), :]
+                cx = fld(blk, U.U_G0) + tmv * fld(blk, U.U_G3)
+                cy = fld(blk, U.U_G1) + tmv * fld(blk, U.U_G4)
+                cz = fld(blk, U.U_G2) + tmv * fld(blk, U.U_G5)
+                r = fld(blk, U.U_G6)
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+                disc = half_b * half_b - a * cq
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                root0 = (-half_b - sq) * inv_a
+                root1 = (-half_b + sq) * inv_a
+                ok0 = (root0 > tmin) & (root0 < tb)
+                ok1 = (root1 > tmin) & (root1 < tb)
+                root = jnp.where(ok0, root0, root1)
+                valid = (disc >= 0.0) & (ok0 | ok1) & (r > 0.0)
+                cand = jnp.where(valid, root, BIG)              # (8, 128)
+                cmin = jnp.min(cand, axis=0, keepdims=True)     # (1, 128)
+                # lowest-index tie-break among this chunk's winners
+                idxs = jnp.where(cand == cmin,
+                                 sub_iota + (k * CHUNK).astype(jnp.float32), BIG)
+                cidx = jnp.min(idxs, axis=0, keepdims=True)
+                imp = cmin < tb
+                tb = jnp.where(imp, cmin, tb)
+                ib = jnp.where(imp, cidx, ib)
+                return tb, ib
+
+            def quad_chunk(k, carry):
+                tb, ib = carry
+                blk = tab_ref[pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK), :]
+                nx = fld(blk, U.U_G0)
+                ny = fld(blk, U.U_G1)
+                nz = fld(blk, U.U_G2)
+                denom = _dot3(nx, ny, nz, dx, dy, dz)
+                safe = jnp.where(jnp.abs(denom) < 1e-8, 1.0, denom)
+                tq = (fld(blk, U.U_G3) - _dot3(nx, ny, nz, ox, oy, oz)) / safe
+                px = ox + tq * dx - fld(blk, U.U_QX)
+                py = oy + tq * dy - fld(blk, U.U_QY)
+                pz = oz + tq * dz - fld(blk, U.U_QZ)
+                ux = fld(blk, U.U_UX)
+                uy = fld(blk, U.U_UY)
+                uz = fld(blk, U.U_UZ)
+                vx = fld(blk, U.U_VX)
+                vy = fld(blk, U.U_VY)
+                vz = fld(blk, U.U_VZ)
+                wx = fld(blk, U.U_G4)
+                wy = fld(blk, U.U_G5)
+                wz = fld(blk, U.U_G6)
+                alpha = (wx * (py * vz - pz * vy) + wy * (pz * vx - px * vz)
+                         + wz * (px * vy - py * vx))
+                beta = (wx * (uy * pz - uz * py) + wy * (uz * px - ux * pz)
+                        + wz * (ux * py - uy * px))
+                valid = (
+                    (jnp.abs(denom) >= 1e-8)
+                    & (tq > tmin) & (tq < tb)
+                    & (alpha >= 0.0) & (alpha <= 1.0)
+                    & (beta >= 0.0) & (beta <= 1.0)
+                )
+                cand = jnp.where(valid, tq, BIG)
+                cmin = jnp.min(cand, axis=0, keepdims=True)
+                idxs = jnp.where(cand == cmin,
+                                 sub_iota + (k * CHUNK).astype(jnp.float32), BIG)
+                cidx = jnp.min(idxs, axis=0, keepdims=True)
+                imp = cmin < tb
+                tb = jnp.where(imp, cmin, tb)
+                ib = jnp.where(imp, cidx, ib)
+                return tb, ib
+
+            tb = zero + BIG
+            ib = zero - 1.0
+            if sph_chunks > 0:
+                tb, ib = jax.lax.fori_loop(0, sph_chunks, sph_chunk, (tb, ib))
+            if n_chunks > sph_chunks:
+                tb, ib = jax.lax.fori_loop(sph_chunks, n_chunks, quad_chunk, (tb, ib))
+            return tb, ib
+
+        def resolve(ib):
+            """One-hot matmul attribute fetch: contract (P, fields) with
+            one-hot (P, rays) → (fields, rays); row F = winner's field F."""
+            def oh_chunk(k, carry):
+                prim_ids = sub_iota + (k * CHUNK).astype(jnp.float32)
+                oh_ref[pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK), :] = (
+                    jnp.where(prim_ids == ib, 1.0, 0.0)
+                )
+                return carry
+
+            jax.lax.fori_loop(0, n_chunks, oh_chunk, 0)
+            return jax.lax.dot_general(
+                tab_ref[:], oh_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (128 fields, 128 rays)
+
+        def group_trace(g):
+            ox = ox_blk[g:g + 1, :]
+            oy = oy_blk[g:g + 1, :]
+            oz = oz_blk[g:g + 1, :]
+            dx = dx_blk[g:g + 1, :]
+            dy = dy_blk[g:g + 1, :]
+            dz = dz_blk[g:g + 1, :]
+            tmv = tm_blk[g:g + 1, :]
+            pix = pix_blk[g:g + 1, :]
+            smp = smp_blk[g:g + 1, :]
+            seed_t = jnp.full((1, TILE), jnp.uint32(seed))
+            return _trace_one_group(ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed_t)
+
+        def _trace_one_group(ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed_t):
+            def bounce_body(carry):
+                (b, ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                 rad_r, rad_g, rad_b, active_f, bounces) = carry
+                active = active_f > 0.5
+
+                t, ib = intersect(ox, oy, oz, dx, dy, dz, tmv)
+                attrs = resolve(ib)
+
+                def at(f):
+                    return attrs[f:f + 1, :]  # (1, 128)
+
+                hit = t < BIG
+                miss = active & ~hit
+                rad_r = rad_r + jnp.where(miss, thr_r * bg_r, 0.0)
+                rad_g = rad_g + jnp.where(miss, thr_g * bg_g, 0.0)
+                rad_b = rad_b + jnp.where(miss, thr_b * bg_b, 0.0)
+
+                px = ox + t * dx
+                py = oy + t * dy
+                pz = oz + t * dz
+
+                is_quad = ib >= float(ns_pad)
+                # outward normal: sphere (p - c_t)/r | quad unit plane normal
+                cxt = at(U.U_G0) + tmv * at(U.U_G3)
+                cyt = at(U.U_G1) + tmv * at(U.U_G4)
+                czt = at(U.U_G2) + tmv * at(U.U_G5)
+                r_att = at(U.U_G6)
+                inv_r = 1.0 / jnp.where(r_att != 0.0, r_att, 1.0)
+                own_x = jnp.where(is_quad, at(U.U_G0), (px - cxt) * inv_r)
+                own_y = jnp.where(is_quad, at(U.U_G1), (py - cyt) * inv_r)
+                own_z = jnp.where(is_quad, at(U.U_G2), (pz - czt) * inv_r)
+                d_dot_n = _dot3(dx, dy, dz, own_x, own_y, own_z)
+                front = d_dot_n < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                nx = own_x * sgn
+                ny = own_y * sgn
+                nz = own_z * sgn
+
+                mt = at(U.U_MTYPE)
+                prm = at(U.U_PARAM)
+                ar = at(U.U_AR)
+                ag = at(U.U_AG)
+                ab = at(U.U_AB)
+                # checker texture (texture.hpp:57-79)
+                ts = at(U.U_TSCALE)
+                cells = (
+                    jnp.floor(ts * px).astype(jnp.int32)
+                    + jnp.floor(ts * py).astype(jnp.int32)
+                    + jnp.floor(ts * pz).astype(jnp.int32)
+                )
+                use2 = (at(U.U_TKIND) == fl.TK_CHECKER) & ((cells % 2) != 0)
+                ar = jnp.where(use2, at(U.U_A2R), ar)
+                ag = jnp.where(use2, at(U.U_A2G), ag)
+                ab = jnp.where(use2, at(U.U_A2B), ab)
+
+                # RNG for this bounce (core/rng.py stream layout)
+                ctr = jnp.full(ox.shape, jnp.uint32(0)) + (
+                    b.astype(jnp.uint32) * jnp.uint32(4) + jnp.uint32(2)
+                )
+                v0, v1, v2, _ = _pcg4d(pix, smp, ctr, seed_t)
+                u0 = _u01(v0)
+                u1 = _u01(v1)
+                u2 = _u01(v2)
+                zdir = 1.0 - 2.0 * u0
+                rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - zdir * zdir))
+                phi = (2.0 * jnp.pi) * u1
+                rux = rho * jnp.cos(phi)
+                ruy = rho * jnp.sin(phi)
+                ruz = zdir
+
+                # lambertian (material.hpp:54-60)
+                ldx = nx + rux
+                ldy = ny + ruy
+                ldz = nz + ruz
+                degen = (jnp.abs(ldx) < 1e-8) & (jnp.abs(ldy) < 1e-8) & (jnp.abs(ldz) < 1e-8)
+                ldx = jnp.where(degen, nx, ldx)
+                ldy = jnp.where(degen, ny, ldy)
+                ldz = jnp.where(degen, nz, ldz)
+
+                # metal (material.hpp:89-105)
+                d_dot_on = _dot3(dx, dy, dz, nx, ny, nz)
+                rdx = dx - 2.0 * d_dot_on * nx
+                rdy = dy - 2.0 * d_dot_on * ny
+                rdz = dz - 2.0 * d_dot_on * nz
+                rlen = jax.lax.rsqrt(_dot3(rdx, rdy, rdz, rdx, rdy, rdz) + 1e-30)
+                mdx = rdx * rlen + prm * rux
+                mdy = rdy * rlen + prm * ruy
+                mdz = rdz * rlen + prm * ruz
+                metal_ok = _dot3(mdx, mdy, mdz, nx, ny, nz) > 0.0
+
+                # dielectric (material.hpp:128-174)
+                dinv = jax.lax.rsqrt(_dot3(dx, dy, dz, dx, dy, dz) + 1e-30)
+                udx = dx * dinv
+                udy = dy * dinv
+                udz = dz * dinv
+                ri = jnp.where(front, 1.0 / prm, prm)
+                cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
+                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                cannot = ri * sin_t > 1.0
+                r0 = (1.0 - ri) / (1.0 + ri)
+                r0 = r0 * r0
+                reflectance = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+                use_reflect = cannot | (reflectance > u2)
+                rpx = ri * (udx + cos_t * nx)
+                rpy = ri * (udy + cos_t * ny)
+                rpz = ri * (udz + cos_t * nz)
+                k2 = jnp.abs(1.0 - _dot3(rpx, rpy, rpz, rpx, rpy, rpz))
+                par = -jnp.sqrt(k2)
+                fdx = rpx + par * nx
+                fdy = rpy + par * ny
+                fdz = rpz + par * nz
+                u_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
+                xdx = udx - 2.0 * u_dot_n * nx
+                xdy = udy - 2.0 * u_dot_n * ny
+                xdz = udz - 2.0 * u_dot_n * nz
+                gdx = jnp.where(use_reflect, xdx, fdx)
+                gdy = jnp.where(use_reflect, xdy, fdy)
+                gdz = jnp.where(use_reflect, xdz, fdz)
+
+                is_metal = mt == MT_METAL
+                is_diel = mt == MT_DIELECTRIC
+                is_light = mt == MT_LIGHT
+                ndx = jnp.where(is_metal, mdx, ldx)
+                ndy = jnp.where(is_metal, mdy, ldy)
+                ndz = jnp.where(is_metal, mdz, ldz)
+                ndx = jnp.where(is_diel, gdx, ndx)
+                ndy = jnp.where(is_diel, gdy, ndy)
+                ndz = jnp.where(is_diel, gdz, ndz)
+
+                att_r = jnp.where(is_diel, 1.0, ar)
+                att_g = jnp.where(is_diel, 1.0, ag)
+                att_b = jnp.where(is_diel, 1.0, ab)
+
+                hit_mask = active & hit
+                emit = hit_mask & is_light
+                rad_r = rad_r + jnp.where(emit, thr_r * ar, 0.0)
+                rad_g = rad_g + jnp.where(emit, thr_g * ag, 0.0)
+                rad_b = rad_b + jnp.where(emit, thr_b * ab, 0.0)
+
+                # logical form, not select-on-bools (Mosaic lacks i8→i1 trunc)
+                did_scatter = (is_metal & metal_ok) | (~is_metal & ~is_light)
+                live = hit_mask & did_scatter
+                thr_r = jnp.where(live, thr_r * att_r, thr_r)
+                thr_g = jnp.where(live, thr_g * att_g, thr_g)
+                thr_b = jnp.where(live, thr_b * att_b, thr_b)
+                ox = jnp.where(live, px, ox)
+                oy = jnp.where(live, py, oy)
+                oz = jnp.where(live, pz, oz)
+                dx = jnp.where(live, ndx, dx)
+                dy = jnp.where(live, ndy, dy)
+                dz = jnp.where(live, ndz, dz)
+
+                bounces = bounces + jnp.where(active, 1.0, 0.0)
+                return (b + 1, ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                        rad_r, rad_g, rad_b, jnp.where(live, 1.0, 0.0), bounces)
+
+            def cond(carry):
+                b = carry[0]
+                active_f = carry[13]
+                return (b < max_depth) & (jnp.max(active_f) > 0.5)
+
+            init = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                    one, one, one, zero, zero, zero,
+                    one, zero)  # active mask + bounce counter carried as f32
+            out = jax.lax.while_loop(cond, bounce_body, init)
+            return out[10], out[11], out[12], out[14]
+
+        for g in range(GROUPS):
+            rr_g, rg_g, rb_g, bc_g = group_trace(g)
+            rr_ref[g:g + 1, :] = rr_g
+            rg_ref[g:g + 1, :] = rg_g
+            rb_ref[g:g + 1, :] = rb_g
+            bc_ref[g:g + 1, :] = bc_g.astype(jnp.int32)
+
+
+    def run(table, ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed):
+        n_rows = ox.shape[0]
+        assert n_rows % GROUPS == 0
+        grid = (n_rows // GROUPS,)
+        ray_spec = pl.BlockSpec((GROUPS, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((n_rows, TILE), jnp.float32)] * 3 + [
+            jax.ShapeDtypeStruct((n_rows, TILE), jnp.int32)
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec, ray_spec,
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[ray_spec] * 4,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n_prims, TILE), jnp.float32),  # one-hot winners
+                pltpu.VMEM((1, TILE), jnp.float32),        # carry-layout seed
+            ],
+            interpret=interpret,
+        )(table, ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed)
+
+    return run
+
+
+def trace_megakernel(
+    mega: MegaScene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    time: jnp.ndarray,
+    pixel_ids: jnp.ndarray,
+    sample_ids: jnp.ndarray,
+    background,
+    max_depth: int,
+    seed,
+    interpret: bool = False,
+):
+    """Wavefront trace through the megakernel. B must be a multiple of 1024.
+    Returns (radiance (B, 3), segments traced ())."""
+    B = o.shape[0]
+    assert B % BLOCK == 0, f"megakernel batch must be a multiple of {BLOCK}, got {B}"
+    rows = B // TILE
+
+    def r2(x):
+        return x.reshape(rows, TILE)
+
+    run = make_megakernel(mega, max_depth=max_depth, background=background,
+                          interpret=interpret)
+    rr, rg, rb, bc = run(
+        mega.table,
+        r2(o[:, 0]), r2(o[:, 1]), r2(o[:, 2]),
+        r2(d[:, 0]), r2(d[:, 1]), r2(d[:, 2]),
+        r2(time), r2(pixel_ids.astype(jnp.int32)), r2(sample_ids.astype(jnp.int32)),
+        jnp.asarray([seed], jnp.uint32) if jnp.ndim(seed) == 0 else seed,
+    )
+    radiance = jnp.stack([rr.reshape(B), rg.reshape(B), rb.reshape(B)], axis=-1)
+    return radiance, jnp.sum(bc)

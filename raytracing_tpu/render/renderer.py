@@ -63,6 +63,7 @@ def _render_chunk(
     hit_fn: Callable,
     mode: str,
     remat: bool,
+    mega=None,                  # MegaScene → use the Pallas megakernel
 ):
     """One launch: n_block contiguous pixels × spp_chunk samples.
     Returns (block radiance *sum* over the chunk's samples (n_block, 3),
@@ -77,20 +78,28 @@ def _render_chunk(
     o, d, t = cam_mod.generate_rays(
         cfg, derived, pixel_ids, sample_ids, seed, motion_blur=scene.flags.has_moving
     )
-    radiance, segments = trace(
-        scene,
-        o,
-        d,
-        t,
-        pixel_ids,
-        sample_ids,
-        jnp.asarray(cfg.background, jnp.float32),
-        cfg.max_depth,
-        seed,
-        hit_fn=hit_fn,
-        mode=mode,
-        remat=remat,
-    )
+    if mega is not None:
+        from ..ops.megakernel import trace_megakernel
+
+        radiance, segments = trace_megakernel(
+            mega, o, d, t, pixel_ids, sample_ids, cfg.background,
+            cfg.max_depth, seed,
+        )
+    else:
+        radiance, segments = trace(
+            scene,
+            o,
+            d,
+            t,
+            pixel_ids,
+            sample_ids,
+            jnp.asarray(cfg.background, jnp.float32),
+            cfg.max_depth,
+            seed,
+            hit_fn=hit_fn,
+            mode=mode,
+            remat=remat,
+        )
     # Mask samples past spp (tail of the last sample chunk).
     valid = (sample_ids < cfg.samples_per_pixel)[:, None]
     radiance = jnp.where(valid, radiance, 0.0)
@@ -121,18 +130,35 @@ class Renderer:
         else:
             self.n_block = max_rays_per_launch
             self.spp_chunk = 1
+        if hit_method == "mega":
+            # megakernel tiles are 1024 rays; pad the pixel block
+            self.n_block = -(-self.n_block // 1024) * 1024
         self._compiled = None
 
     def _get_compiled(self, scene: Scene):
         if self._compiled is None:
+            mega = None
+            hit_fn = closest_hit_brute
+            if self.hit_method == "mega":
+                from ..ops.megakernel import build_mega_scene
+
+                mega = build_mega_scene(scene)
+                if not mega.supported:
+                    raise ValueError(
+                        "scene uses image/noise textures the megakernel does not "
+                        "support; use hit_method='brute'/'bvh'"
+                    )
+            else:
+                hit_fn = _pick_hit_fn(scene, self.hit_method)
             fn = partial(
                 _render_chunk,
                 cfg=self.cfg,
                 n_block=self.n_block,
                 spp_chunk=self.spp_chunk,
-                hit_fn=_pick_hit_fn(scene, self.hit_method),
+                hit_fn=hit_fn,
                 mode=self.mode,
                 remat=self.remat,
+                mega=mega,
             )
             self._compiled = jax.jit(fn)
         return self._compiled

@@ -1,0 +1,213 @@
+"""Flatten a compiled Scene into dense per-primitive shading tables for the
+Pallas megakernel (ops/megakernel.py).
+
+The megakernel avoids all per-ray gathers by carrying the winning
+primitive's attributes through the intersection loop — which requires every
+attribute it might need (geometry + material + texture params) to be a
+scalar column of the primitive row. This module packs:
+
+  sphere_table: (SPH_FIELDS, Np) f32 — geometry + folded material/texture
+  quad_table:   (QUAD_FIELDS, Mp) f32 — same, plus the precomputed plane
+                basis (n, D, w — reference quad.hpp:12-23)
+
+Materials/textures fold per primitive (the reference shares them by
+pointer; we denormalize — memory is trivial at these scene sizes).
+Supported texture kinds in-kernel: solid, checker-of-solids. Scenes using
+image or noise textures report ``supported=False`` and the renderer falls
+back to the XLA wavefront path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .types import (
+    MAT_DIFFUSE_LIGHT,
+    TEX_CHECKER,
+    TEX_IMAGE,
+    TEX_NOISE,
+    TEX_SOLID,
+    Scene,
+)
+
+# sphere table rows
+S_CX, S_CY, S_CZ, S_VX, S_VY, S_VZ, S_R = range(7)
+S_MTYPE, S_PARAM, S_AR, S_AG, S_AB, S_TKIND, S_TSCALE, S_A2R, S_A2G, S_A2B = range(7, 17)
+SPH_FIELDS = 17
+
+# quad table rows: geometry then the same shading block
+Q_QX, Q_QY, Q_QZ, Q_UX, Q_UY, Q_UZ, Q_VX, Q_VY, Q_VZ = range(9)
+Q_NX, Q_NY, Q_NZ, Q_D, Q_WX, Q_WY, Q_WZ = range(9, 16)
+Q_MTYPE, Q_PARAM, Q_AR, Q_AG, Q_AB, Q_TKIND, Q_TSCALE, Q_A2R, Q_A2G, Q_A2B = range(16, 26)
+QUAD_FIELDS = 26
+
+# in-kernel texture kinds
+TK_SOLID = 0.0
+TK_CHECKER = 1.0
+
+# ---------------------------------------------------------------------------
+# Unified primitive table (megakernel v2): one (U_FIELDS, Np+Mq) table whose
+# shading rows are shared between spheres and quads, so a single one-hot
+# matmul resolves the winner's attributes regardless of primitive kind.
+# Geometry rows are kind-specific:
+#   spheres: G0..G2 = center, G3..G5 = velocity, G6 = radius
+#   quads:   G0..G2 = unit normal, G3 = plane D, G4..G6 = w
+# Quad extras (corner q, edges u, v) live in rows 17..25; zero for spheres.
+# ---------------------------------------------------------------------------
+U_G0, U_G1, U_G2, U_G3, U_G4, U_G5, U_G6 = range(7)
+U_MTYPE, U_PARAM, U_AR, U_AG, U_AB, U_TKIND, U_TSCALE, U_A2R, U_A2G, U_A2B = range(7, 17)
+U_QX, U_QY, U_QZ, U_UX, U_UY, U_UZ, U_VX, U_VY, U_VZ = range(17, 26)
+U_FIELDS = 32  # padded to a sublane-friendly row count
+
+
+def unified_table(scene: Scene, chunk: int = 8):
+    """Build the unified primitive table.
+
+    Returns (table (U_FIELDS, P) f32, n_sph_pad, n_quad, supported) where
+    spheres occupy columns [0, n_sph_pad) (padded to a multiple of ``chunk``
+    with radius-0 rows) and quads the remaining columns (padded to
+    ``chunk`` too, with zero normals → rejected).
+    """
+    flat = flatten_scene(scene, lane_pad=1)
+    stab = np.asarray(flat.sphere_table)
+    qtab = np.asarray(flat.quad_table)
+    ns = int(np.count_nonzero(stab[S_R] > 0))
+    nxr = qtab[Q_NX:Q_NZ + 1]
+    nq = int(np.count_nonzero((nxr * nxr).sum(0) > 0))
+
+    ns_pad = max(chunk, -(-max(ns, 1) // chunk) * chunk)
+    nq_pad = max(chunk, -(-max(nq, 1) // chunk) * chunk)
+    table = np.zeros((U_FIELDS, ns_pad + nq_pad), np.float32)
+    if ns:
+        table[U_G0:U_G2 + 1, :ns] = stab[S_CX:S_CZ + 1, :ns]
+        table[U_G3:U_G5 + 1, :ns] = stab[S_VX:S_VZ + 1, :ns]
+        table[U_G6, :ns] = stab[S_R, :ns]
+        table[U_MTYPE:U_A2B + 1, :ns] = stab[S_MTYPE:S_A2B + 1, :ns]
+    if nq:
+        o = ns_pad
+        table[U_G0:U_G2 + 1, o:o + nq] = qtab[Q_NX:Q_NZ + 1, :nq]
+        table[U_G3, o:o + nq] = qtab[Q_D, :nq]
+        table[U_G4:U_G6 + 1, o:o + nq] = qtab[Q_WX:Q_WZ + 1, :nq]
+        table[U_MTYPE:U_A2B + 1, o:o + nq] = qtab[Q_MTYPE:Q_A2B + 1, :nq]
+        table[U_QX:U_QZ + 1, o:o + nq] = qtab[Q_QX:Q_QZ + 1, :nq]
+        table[U_UX:U_UZ + 1, o:o + nq] = qtab[Q_UX:Q_UZ + 1, :nq]
+        table[U_VX:U_VZ + 1, o:o + nq] = qtab[Q_VX:Q_VZ + 1, :nq]
+    return table, ns_pad, nq, flat.supported
+
+
+class FlatScene(NamedTuple):
+    sphere_table: jnp.ndarray  # (SPH_FIELDS, Np)
+    quad_table: jnp.ndarray    # (QUAD_FIELDS, Mp)
+    supported: bool            # False → megakernel cannot shade this scene
+
+
+def _shading_columns(scene: Scene, mat_id: np.ndarray):
+    """Per-primitive folded shading block (10 rows) for ``mat_id`` rows.
+    Returns (rows (10, n) np.float32, supported)."""
+    mats = np.asarray(scene.materials.mtype)
+    tex_id = np.asarray(scene.materials.tex_id)
+    fuzz = np.asarray(scene.materials.fuzz)
+    ior = np.asarray(scene.materials.ior)
+    ttype = np.asarray(scene.textures.ttype)
+    rgb = np.asarray(scene.textures.rgb)
+    scale = np.asarray(scene.textures.scale)
+    child = np.asarray(scene.textures.child)
+
+    n = len(mat_id)
+    rows = np.zeros((10, n), np.float32)
+    supported = True
+    for k, m in enumerate(mat_id):
+        mt = mats[m]
+        t = tex_id[m]
+        tk = TK_SOLID
+        alb = rgb[t]
+        alb2 = np.zeros(3, np.float32)
+        tscale = 1.0
+        if ttype[t] == TEX_CHECKER:
+            even, odd = child[t]
+            if ttype[even] == TEX_SOLID and ttype[odd] == TEX_SOLID:
+                tk = TK_CHECKER
+                alb = rgb[even]
+                alb2 = rgb[odd]
+                tscale = scale[t]  # already inv_scale (builder.checker)
+            else:
+                supported = False
+        elif ttype[t] in (TEX_IMAGE, TEX_NOISE):
+            supported = False
+        rows[0, k] = mt
+        rows[1, k] = fuzz[m] if mt != 2 else ior[m]  # PARAM: fuzz | ior
+        rows[2:5, k] = alb
+        rows[5, k] = tk
+        rows[6, k] = tscale
+        rows[7:10, k] = alb2
+    return rows, supported
+
+
+def flatten_scene(scene: Scene, lane_pad: int = 128) -> FlatScene:
+    """Host-side packing (NumPy; not differentiable — the megakernel is a
+    forward/inference path; gradients use the XLA wavefront integrator)."""
+    sph = scene.spheres
+    center = np.asarray(sph.center)
+    vel = np.asarray(sph.velocity)
+    radius = np.asarray(sph.radius)
+    smat = np.asarray(sph.mat_id)
+    # only real spheres (radius > 0) participate
+    real = radius > 0
+    idx = np.nonzero(real)[0]
+    ns = len(idx)
+    np_pad = max(lane_pad, -(-max(ns, 1) // lane_pad) * lane_pad)
+    stab = np.zeros((SPH_FIELDS, np_pad), np.float32)
+    stab[S_R, :] = 0.0  # padded rows never hit
+    if ns:
+        stab[S_CX:S_CZ + 1, :ns] = center[idx].T
+        stab[S_VX:S_VZ + 1, :ns] = vel[idx].T
+        stab[S_R, :ns] = radius[idx]
+        shade, sup_s = _shading_columns(scene, smat[idx])
+        stab[S_MTYPE:S_A2B + 1, :ns] = shade
+    else:
+        sup_s = True
+
+    qd = scene.quads
+    qq = np.asarray(qd.q)
+    qu = np.asarray(qd.u)
+    qv = np.asarray(qd.v)
+    qmat = np.asarray(qd.mat_id)
+    n_cross = np.cross(qu, qv)
+    nn = (n_cross * n_cross).sum(-1)
+    realq = nn > 0
+    qidx = np.nonzero(realq)[0]
+    mq = len(qidx)
+    mq_pad = max(lane_pad, -(-max(mq, 1) // lane_pad) * lane_pad)
+    qtab = np.zeros((QUAD_FIELDS, mq_pad), np.float32)
+    if mq:
+        qtab[Q_QX:Q_QZ + 1, :mq] = qq[qidx].T
+        qtab[Q_UX:Q_UZ + 1, :mq] = qu[qidx].T
+        qtab[Q_VX:Q_VZ + 1, :mq] = qv[qidx].T
+        n_r = n_cross[qidx]
+        nn_r = nn[qidx]
+        unit_n = n_r / np.sqrt(nn_r)[:, None]
+        qtab[Q_NX:Q_NZ + 1, :mq] = unit_n.T
+        qtab[Q_D, :mq] = (unit_n * qq[qidx]).sum(-1)
+        qtab[Q_WX:Q_WZ + 1, :mq] = (n_r / nn_r[:, None]).T
+        shade_q, sup_q = _shading_columns(scene, qmat[qidx])
+        qtab[Q_MTYPE:Q_A2B + 1, :mq] = shade_q
+        # padded quads: zero normal → denominator 0 → rejected in kernel
+    else:
+        sup_q = True
+
+    return FlatScene(
+        sphere_table=jnp.asarray(stab),
+        quad_table=jnp.asarray(qtab),
+        supported=bool(sup_s and sup_q),
+    )
+
+
+def n_real_spheres(flat: FlatScene) -> int:
+    return int(np.count_nonzero(np.asarray(flat.sphere_table[S_R]) > 0))
+
+
+def n_real_quads(flat: FlatScene) -> int:
+    nx = np.asarray(flat.quad_table[Q_NX:Q_NZ + 1])
+    return int(np.count_nonzero((nx * nx).sum(0) > 0))
