@@ -15,10 +15,21 @@ Runs on whatever backend JAX picks (the real TPU chip under the driver).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 BASELINE_RAYS_PER_S = 5e8
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: the remote TPU compiler on this setup
+    has multi-minute latency spikes; cached programs load in seconds."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
@@ -90,6 +101,7 @@ def bench_fwd_bwd(width=200, spp=8, max_depth=20, seed=7):
 
 
 def main():
+    _enable_compile_cache()
     fwd = bench_forward()
     extras = {}
     try:

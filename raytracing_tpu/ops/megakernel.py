@@ -130,10 +130,15 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
 
     def kernel(tab_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-               pix_ref, smp_ref, seed_ref,
+               pix_ref, smp_ref,
+               tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref, act_ref,
+               seed_ref,
                rr_ref, rg_ref, rb_ref, bc_ref,
+               oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+               otr_ref, otg_ref, otb_ref, oact_ref,
                oh_ref, zref):
         seed = seed_ref[0]
+        b_off = seed_ref[1]
 
         # non-constant-foldable carry seeds (see module docstring)
         zref[:] = jnp.zeros((1, TILE), jnp.float32)
@@ -153,6 +158,13 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
         tm_blk = tm_ref[:]
         pix_blk = pix_ref[:].astype(jnp.uint32)
         smp_blk = smp_ref[:].astype(jnp.uint32)
+        thr_r_blk = tr_ref[:]
+        thr_g_blk = tg_ref[:]
+        thr_b_blk = tb2_ref[:]
+        rad_r_blk = ra_ref[:]
+        rad_g_blk = ga_ref[:]
+        rad_b_blk = ba_ref[:]
+        act_blk = act_ref[:]
 
         def fld(blk, f):
             """(8, 1) field column of an (8, 128) table chunk."""
@@ -271,10 +283,13 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             tmv = tm_blk[g:g + 1, :]
             pix = pix_blk[g:g + 1, :]
             smp = smp_blk[g:g + 1, :]
+            st0 = (thr_r_blk[g:g + 1, :], thr_g_blk[g:g + 1, :], thr_b_blk[g:g + 1, :],
+                   rad_r_blk[g:g + 1, :], rad_g_blk[g:g + 1, :], rad_b_blk[g:g + 1, :],
+                   act_blk[g:g + 1, :])
             seed_t = jnp.full((1, TILE), jnp.uint32(seed))
-            return _trace_one_group(ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed_t)
+            return _trace_one_group(ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed_t, st0)
 
-        def _trace_one_group(ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed_t):
+        def _trace_one_group(ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed_t, st0):
             def bounce_body(carry):
                 (b, ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
                  rad_r, rad_g, rad_b, active_f, bounces) = carry
@@ -332,7 +347,7 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
 
                 # RNG for this bounce (core/rng.py stream layout)
                 ctr = jnp.full(ox.shape, jnp.uint32(0)) + (
-                    b.astype(jnp.uint32) * jnp.uint32(4) + jnp.uint32(2)
+                    (b.astype(jnp.uint32) + b_off) * jnp.uint32(4) + jnp.uint32(2)
                 )
                 v0, v1, v2, _ = _pcg4d(pix, smp, ctr, seed_t)
                 u0 = _u01(v0)
@@ -436,45 +451,67 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                 active_f = carry[13]
                 return (b < max_depth) & (jnp.max(active_f) > 0.5)
 
+            thr_r0, thr_g0, thr_b0, rad_r0, rad_g0, rad_b0, act0 = st0
             init = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
-                    one, one, one, zero, zero, zero,
-                    one, zero)  # active mask + bounce counter carried as f32
+                    thr_r0 + zero, thr_g0 + zero, thr_b0 + zero,
+                    rad_r0 + zero, rad_g0 + zero, rad_b0 + zero,
+                    act0 + zero, zero)  # f32 active mask + f32 bounce counter
             out = jax.lax.while_loop(cond, bounce_body, init)
-            return out[10], out[11], out[12], out[14]
+            return out
 
         for g in range(GROUPS):
-            rr_g, rg_g, rb_g, bc_g = group_trace(g)
-            rr_ref[g:g + 1, :] = rr_g
-            rg_ref[g:g + 1, :] = rg_g
-            rb_ref[g:g + 1, :] = rb_g
-            bc_ref[g:g + 1, :] = bc_g.astype(jnp.int32)
+            out = group_trace(g)
+            (_, f_ox, f_oy, f_oz, f_dx, f_dy, f_dz,
+             f_tr, f_tg, f_tb, f_rr, f_rg, f_rb, f_act, f_bc) = out
+            rr_ref[g:g + 1, :] = f_rr
+            rg_ref[g:g + 1, :] = f_rg
+            rb_ref[g:g + 1, :] = f_rb
+            bc_ref[g:g + 1, :] = f_bc.astype(jnp.int32)
+            oox_ref[g:g + 1, :] = f_ox
+            ooy_ref[g:g + 1, :] = f_oy
+            ooz_ref[g:g + 1, :] = f_oz
+            odx_ref[g:g + 1, :] = f_dx
+            ody_ref[g:g + 1, :] = f_dy
+            odz_ref[g:g + 1, :] = f_dz
+            otr_ref[g:g + 1, :] = f_tr
+            otg_ref[g:g + 1, :] = f_tg
+            otb_ref[g:g + 1, :] = f_tb
+            oact_ref[g:g + 1, :] = f_act
 
 
-    def run(table, ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed):
+    def run(table, ox, oy, oz, dx, dy, dz, tmv, pix, smp,
+            thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act,
+            seed_and_offset):
+        """One phase over the full batch. All ray args are (n_rows, 128);
+        ``seed_and_offset`` is a (2,) i32/u32 array [seed, bounce_offset].
+        Returns (rad_r, rad_g, rad_b, bounces, ox..dz, thr..., act)."""
         n_rows = ox.shape[0]
         assert n_rows % GROUPS == 0
         grid = (n_rows // GROUPS,)
         ray_spec = pl.BlockSpec((GROUPS, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((n_rows, TILE), jnp.float32)] * 3 + [
-            jax.ShapeDtypeStruct((n_rows, TILE), jnp.int32)
-        ]
+        f32 = jnp.float32
+        out_shape = (
+            [jax.ShapeDtypeStruct((n_rows, TILE), f32)] * 3
+            + [jax.ShapeDtypeStruct((n_rows, TILE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((n_rows, TILE), f32)] * 10
+        )
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-                ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-                ray_spec, ray_spec, ray_spec,
+            ] + [ray_spec] * 16 + [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=[ray_spec] * 4,
+            out_specs=[ray_spec] * 14,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((n_prims, TILE), jnp.float32),  # one-hot winners
                 pltpu.VMEM((1, TILE), jnp.float32),        # carry-layout seed
             ],
             interpret=interpret,
-        )(table, ox, oy, oz, dx, dy, dz, tmv, pix, smp, seed)
+        )(table, ox, oy, oz, dx, dy, dz, tmv, pix, smp,
+          thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act, seed_and_offset)
 
     return run
 
@@ -490,9 +527,18 @@ def trace_megakernel(
     max_depth: int,
     seed,
     interpret: bool = False,
+    phase_depths=None,
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
-    Returns (radiance (B, 3), segments traced ())."""
+
+    ``phase_depths``: optional list of per-phase bounce budgets summing to
+    ≤ max_depth (e.g. ``[3, 17]``). Between phases the batch is *compacted*:
+    rays are stably sorted dead-last, so later phases run straggler bounces
+    at full lane occupancy and fully-dead groups exit after one loop check.
+    Default: one phase (no sort) — best for shallow depths.
+
+    Returns (radiance (B, 3), segments traced ()).
+    """
     B = o.shape[0]
     assert B % BLOCK == 0, f"megakernel batch must be a multiple of {BLOCK}, got {B}"
     rows = B // TILE
@@ -500,14 +546,54 @@ def trace_megakernel(
     def r2(x):
         return x.reshape(rows, TILE)
 
-    run = make_megakernel(mega, max_depth=max_depth, background=background,
-                          interpret=interpret)
-    rr, rg, rb, bc = run(
-        mega.table,
-        r2(o[:, 0]), r2(o[:, 1]), r2(o[:, 2]),
-        r2(d[:, 0]), r2(d[:, 1]), r2(d[:, 2]),
-        r2(time), r2(pixel_ids.astype(jnp.int32)), r2(sample_ids.astype(jnp.int32)),
-        jnp.asarray([seed], jnp.uint32) if jnp.ndim(seed) == 0 else seed,
+    f32 = jnp.float32
+    state = dict(
+        ox=r2(o[:, 0]), oy=r2(o[:, 1]), oz=r2(o[:, 2]),
+        dx=r2(d[:, 0]), dy=r2(d[:, 1]), dz=r2(d[:, 2]),
+        tm=r2(time),
+        pix=r2(pixel_ids.astype(jnp.int32)), smp=r2(sample_ids.astype(jnp.int32)),
+        tr=jnp.ones((rows, TILE), f32), tg=jnp.ones((rows, TILE), f32),
+        tb=jnp.ones((rows, TILE), f32),
+        rr=jnp.zeros((rows, TILE), f32), rg=jnp.zeros((rows, TILE), f32),
+        rb=jnp.zeros((rows, TILE), f32),
+        act=jnp.ones((rows, TILE), f32),
     )
-    radiance = jnp.stack([rr.reshape(B), rg.reshape(B), rb.reshape(B)], axis=-1)
-    return radiance, jnp.sum(bc)
+    if phase_depths is None:
+        phase_depths = [max_depth]
+
+    order0 = jnp.arange(B, dtype=jnp.int32)
+    perm = order0  # composed permutation original → current layout
+    segments = jnp.zeros((), jnp.int32)
+    offset = 0
+    for pi, pd in enumerate(phase_depths):
+        runp = make_megakernel(mega, max_depth=pd, background=background,
+                               interpret=interpret)
+        so = jnp.asarray([seed, offset], jnp.uint32)
+        out = runp(mega.table,
+                   state["ox"], state["oy"], state["oz"],
+                   state["dx"], state["dy"], state["dz"],
+                   state["tm"], state["pix"], state["smp"],
+                   state["tr"], state["tg"], state["tb"],
+                   state["rr"], state["rg"], state["rb"], state["act"], so)
+        (rr, rg, rb, bc, ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2, act2) = out
+        segments = segments + jnp.sum(bc)
+        state.update(ox=ox2, oy=oy2, oz=oz2, dx=dx2, dy=dy2, dz=dz2,
+                     rr=rr, rg=rg, rb=rb, tr=tr2, tg=tg2, tb=tb2, act=act2)
+        offset += pd
+        if pi < len(phase_depths) - 1:
+            # stable sort alive-first; permute every per-ray array
+            alive_flat = state["act"].reshape(B)
+            order = jnp.argsort(1.0 - alive_flat, stable=True).astype(jnp.int32)
+            perm = perm[order]
+            for k in list(state.keys()):
+                state[k] = state[k].reshape(B)[order].reshape(rows, TILE)
+
+    # undo the composed permutation on the accumulated radiance
+    rr = state["rr"].reshape(B)
+    rg = state["rg"].reshape(B)
+    rb = state["rb"].reshape(B)
+    radiance = jnp.stack([rr, rg, rb], axis=-1)
+    inv = jnp.argsort(perm).astype(jnp.int32)
+    radiance = radiance[inv]
+    return radiance, segments
+

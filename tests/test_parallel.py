@@ -52,6 +52,14 @@ class TestShardInvariance:
         img, _ = render_sharded(scene, cfg, mesh, seed=5)
         np.testing.assert_allclose(img, reference_image, atol=1e-5)
 
+    def test_ring_scene_shard(self, small_scene, reference_image):
+        # ppermute ring dataflow (parallel/ring.py) must equal both the
+        # psum-min reduction and the single-device render
+        scene, cfg = small_scene
+        mesh = make_mesh((2, 4), ("dp", "tp"))
+        img, _ = render_sharded(scene, cfg, mesh, seed=5, hit_method="ring")
+        np.testing.assert_allclose(img, reference_image, atol=1e-5)
+
     def test_bvh_hit_under_dp(self, reference_image):
         scene, cfg = build("three_spheres", image_width=64, samples_per_pixel=8,
                            max_depth=5, use_bvh=True)
