@@ -21,7 +21,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--spp", type=int, default=None)
     p.add_argument("--depth", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--hit", default="auto", choices=["auto", "brute", "bvh"])
+    p.add_argument("--hit", default="auto", choices=["auto", "brute", "bvh", "mega"])
     p.add_argument("--mode", default="while", choices=["while", "scan"])
     p.add_argument("--checkpoint", default=None, help="resume/checkpoint file (npz)")
     p.add_argument("--trace-dir", default=None, help="jax.profiler trace output dir")

@@ -65,9 +65,12 @@ MT_LIGHT = 3.0
 
 
 class MegaScene(NamedTuple):
-    table: jnp.ndarray   # (P, 128) unified primitive table (prims × fields)
-    n_sph_pad: int       # sphere columns occupy rows [0, n_sph_pad)
-    n_prims: int         # total rows P (multiple of CHUNK)
+    table: jnp.ndarray    # (P, 128) unified primitive table (prims × fields)
+    table_t: jnp.ndarray  # (32, P_pad128) transposed copy (fields × prims) —
+                          # lets the winner's attributes be fetched with
+                          # per-lane gathers instead of a one-hot matmul
+    n_sph_pad: int        # sphere rows occupy [0, n_sph_pad)
+    n_prims: int          # total rows P (multiple of CHUNK)
     supported: bool
 
 
@@ -76,8 +79,12 @@ def build_mega_scene(scene: Scene) -> MegaScene:
     # kernel layout: primitives on sublanes, fields on lanes (padded to 128)
     t = np.zeros((table.shape[1], TILE), np.float32)
     t[:, : table.shape[0]] = np.asarray(table).T
+    p_pad = -(-table.shape[1] // TILE) * TILE
+    tt = np.zeros((fl.U_FIELDS, p_pad), np.float32)
+    tt[:, : table.shape[1]] = np.asarray(table)
     return MegaScene(
         table=jnp.asarray(t),
+        table_t=jnp.asarray(tt),
         n_sph_pad=ns_pad,
         n_prims=table.shape[1],
         supported=supported,
@@ -125,10 +132,11 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
     ns_pad = mega.n_sph_pad
     n_chunks = n_prims // CHUNK
     sph_chunks = ns_pad // CHUNK
+    tabt_shape1 = mega.table_t.shape[1]
     bg_r, bg_g, bg_b = (float(background[0]), float(background[1]), float(background[2]))
     U = fl
 
-    def kernel(tab_ref,
+    def kernel(tab_ref, tabt_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                pix_ref, smp_ref,
                tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref, act_ref,
@@ -136,7 +144,7 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                rr_ref, rg_ref, rb_ref, bc_ref,
                oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
                otr_ref, otg_ref, otb_ref, oact_ref,
-               oh_ref, zref):
+               zref):
         seed = seed_ref[0]
         b_off = seed_ref[1]
 
@@ -176,8 +184,11 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             inv_a = 1.0 / a
 
             def sph_chunk(k, carry):
+                # k is a static python int: chunk slices are fully static and
+                # the loop is unrolled — Mosaic pipelines straight-line code
+                # far better than a fori_loop with this small a body.
                 tb, ib = carry
-                blk = tab_ref[pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK), :]
+                blk = tab_ref[k * CHUNK:(k + 1) * CHUNK, :]
                 cx = fld(blk, U.U_G0) + tmv * fld(blk, U.U_G3)
                 cy = fld(blk, U.U_G1) + tmv * fld(blk, U.U_G4)
                 cz = fld(blk, U.U_G2) + tmv * fld(blk, U.U_G5)
@@ -198,8 +209,7 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                 cand = jnp.where(valid, root, BIG)              # (8, 128)
                 cmin = jnp.min(cand, axis=0, keepdims=True)     # (1, 128)
                 # lowest-index tie-break among this chunk's winners
-                idxs = jnp.where(cand == cmin,
-                                 sub_iota + (k * CHUNK).astype(jnp.float32), BIG)
+                idxs = jnp.where(cand == cmin, sub_iota + float(k * CHUNK), BIG)
                 cidx = jnp.min(idxs, axis=0, keepdims=True)
                 imp = cmin < tb
                 tb = jnp.where(imp, cmin, tb)
@@ -208,7 +218,7 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
 
             def quad_chunk(k, carry):
                 tb, ib = carry
-                blk = tab_ref[pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK), :]
+                blk = tab_ref[k * CHUNK:(k + 1) * CHUNK, :]
                 nx = fld(blk, U.U_G0)
                 ny = fld(blk, U.U_G1)
                 nz = fld(blk, U.U_G2)
@@ -239,8 +249,7 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                 )
                 cand = jnp.where(valid, tq, BIG)
                 cmin = jnp.min(cand, axis=0, keepdims=True)
-                idxs = jnp.where(cand == cmin,
-                                 sub_iota + (k * CHUNK).astype(jnp.float32), BIG)
+                idxs = jnp.where(cand == cmin, sub_iota + float(k * CHUNK), BIG)
                 cidx = jnp.min(idxs, axis=0, keepdims=True)
                 imp = cmin < tb
                 tb = jnp.where(imp, cmin, tb)
@@ -249,29 +258,35 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
 
             tb = zero + BIG
             ib = zero - 1.0
-            if sph_chunks > 0:
-                tb, ib = jax.lax.fori_loop(0, sph_chunks, sph_chunk, (tb, ib))
-            if n_chunks > sph_chunks:
-                tb, ib = jax.lax.fori_loop(sph_chunks, n_chunks, quad_chunk, (tb, ib))
-            return tb, ib
+            carry = (tb, ib)
+            for k in range(sph_chunks):          # static unroll
+                carry = sph_chunk(k, carry)
+            for k in range(sph_chunks, n_chunks):
+                carry = quad_chunk(k, carry)
+            return carry
 
-        def resolve(ib):
-            """One-hot matmul attribute fetch: contract (P, fields) with
-            one-hot (P, rays) → (fields, rays); row F = winner's field F."""
-            def oh_chunk(k, carry):
-                prim_ids = sub_iota + (k * CHUNK).astype(jnp.float32)
-                oh_ref[pl.ds(pl.multiple_of(k * CHUNK, CHUNK), CHUNK), :] = (
-                    jnp.where(prim_ids == ib, 1.0, 0.0)
-                )
-                return carry
+        n_lane_chunks = tabt_shape1 // TILE
+        n_field_groups = 3  # fields 0..23 in sublane groups of 8 (17 used)
 
-            jax.lax.fori_loop(0, n_chunks, oh_chunk, 0)
-            return jax.lax.dot_general(
-                tab_ref[:], oh_ref[:],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (128 fields, 128 rays)
+        def resolve(ib, fields):
+            """Winner-attribute fetch via per-lane gathers. Mosaic's
+            dynamic-gather wants full (8,128) operands, so each gather pulls
+            8 *fields* (sublanes) of one 128-primitive lane chunk at the
+            per-ray index; chunks are combined with a lane select. Exact f32
+            and ~10x cheaper than the one-hot-matmul alternative.
+            Returns {field → (1, 128) value}."""
+            ibi = ib.astype(jnp.int32)
+            groups = [None] * n_field_groups
+            for c in range(n_lane_chunks):
+                local = jnp.clip(ibi - c * TILE, 0, TILE - 1)
+                idx8 = jnp.broadcast_to(local, (CHUNK, TILE))
+                use = (ibi >= c * TILE) & (ibi < (c + 1) * TILE)
+                for gi in range(n_field_groups):
+                    rows = tabt_ref[gi * CHUNK:(gi + 1) * CHUNK,
+                                    c * TILE:(c + 1) * TILE]
+                    g = jnp.take_along_axis(rows, idx8, axis=1)
+                    groups[gi] = g if groups[gi] is None else jnp.where(use, g, groups[gi])
+            return {f: groups[f // CHUNK][f % CHUNK:f % CHUNK + 1, :] for f in fields}
 
         def group_trace(g):
             ox = ox_blk[g:g + 1, :]
@@ -296,10 +311,14 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                 active = active_f > 0.5
 
                 t, ib = intersect(ox, oy, oz, dx, dy, dz, tmv)
-                attrs = resolve(ib)
+                FIELDS = (U.U_G0, U.U_G1, U.U_G2, U.U_G3, U.U_G4, U.U_G5,
+                          U.U_G6, U.U_MTYPE, U.U_PARAM, U.U_AR, U.U_AG,
+                          U.U_AB, U.U_TKIND, U.U_TSCALE, U.U_A2R, U.U_A2G,
+                          U.U_A2B)
+                attrs = resolve(ib, FIELDS)
 
                 def at(f):
-                    return attrs[f:f + 1, :]  # (1, 128)
+                    return attrs[f]  # (1, 128)
 
                 hit = t < BIG
                 miss = active & ~hit
@@ -479,7 +498,7 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             oact_ref[g:g + 1, :] = f_act
 
 
-    def run(table, ox, oy, oz, dx, dy, dz, tmv, pix, smp,
+    def run(table, table_t, ox, oy, oz, dx, dy, dz, tmv, pix, smp,
             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act,
             seed_and_offset):
         """One phase over the full batch. All ray args are (n_rows, 128);
@@ -500,17 +519,17 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(table_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             ] + [ray_spec] * 16 + [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=[ray_spec] * 14,
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((n_prims, TILE), jnp.float32),  # one-hot winners
                 pltpu.VMEM((1, TILE), jnp.float32),        # carry-layout seed
             ],
             interpret=interpret,
-        )(table, ox, oy, oz, dx, dy, dz, tmv, pix, smp,
+        )(table, table_t, ox, oy, oz, dx, dy, dz, tmv, pix, smp,
           thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act, seed_and_offset)
 
     return run
@@ -569,7 +588,7 @@ def trace_megakernel(
         runp = make_megakernel(mega, max_depth=pd, background=background,
                                interpret=interpret)
         so = jnp.asarray([seed, offset], jnp.uint32)
-        out = runp(mega.table,
+        out = runp(mega.table, mega.table_t,
                    state["ox"], state["oy"], state["oz"],
                    state["dx"], state["dy"], state["dz"],
                    state["tm"], state["pix"], state["smp"],

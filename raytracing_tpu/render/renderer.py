@@ -136,16 +136,30 @@ class Renderer:
         else:
             self.n_block = max_rays_per_launch
             self.spp_chunk = 1
-        if hit_method == "mega":
-            # megakernel tiles are 1024 rays; pad the pixel block
-            self.n_block = -(-self.n_block // 1024) * 1024
+        # megakernel launches want 1024-ray multiples; the padding (clamped
+        # duplicate pixels, rows discarded on readback) is harmless for the
+        # other hit methods too, so apply it unconditionally — "auto" may
+        # resolve to the megakernel at compile time.
+        self.n_block = -(-self.n_block // 1024) * 1024
         self._compiled = None
 
     def _get_compiled(self, scene: Scene):
         if self._compiled is None:
             mega = None
             hit_fn = closest_hit_brute
-            if self.hit_method == "mega":
+            method = self.hit_method
+            if method == "auto" and jax.default_backend() != "cpu":
+                # On TPU the Pallas megakernel is both the fastest forward
+                # path and the only one immune to the remote compiler's
+                # multi-minute hangs at large batch sizes; prefer it when
+                # the scene's textures are expressible.
+                from ..ops.megakernel import build_mega_scene
+
+                candidate = build_mega_scene(scene)
+                if candidate.supported:
+                    mega = candidate
+                    method = "mega"
+            if method == "mega" and mega is None:
                 from ..ops.megakernel import build_mega_scene
 
                 mega = build_mega_scene(scene)
@@ -154,8 +168,8 @@ class Renderer:
                         "scene uses image/noise textures the megakernel does not "
                         "support; use hit_method='brute'/'bvh'"
                     )
-            else:
-                hit_fn = _pick_hit_fn(scene, self.hit_method)
+            if mega is None:
+                hit_fn = _pick_hit_fn(scene, method)
             fn = partial(
                 _render_chunk,
                 cfg=self.cfg,
