@@ -203,12 +203,13 @@ class Renderer:
         n_schunks = -(-cfg.samples_per_pixel // self.spp_chunk)
 
         accum = jnp.zeros((n_blocks * self.n_block, 3), jnp.float32)
-        segments = 0
+        seg_base = 0
+        seg_dev = jnp.zeros((), jnp.int32)  # accumulate on device: no per-launch sync
         launches = 0
         start_schunk = 0
         if resume_state is not None:
             accum = jnp.asarray(resume_state["accum"])
-            segments = int(resume_state["segments"])
+            seg_base = int(resume_state["segments"])
             start_schunk = int(resume_state["schunk"])
 
         # Warm-up compile outside the timed region.
@@ -224,16 +225,21 @@ class Renderer:
                     seed_arr,
                 )
                 accum = accum.at[b * self.n_block : (b + 1) * self.n_block].add(rad)
-                segments += int(seg)
+                seg_dev = seg_dev + seg
                 launches += 1
             if progress:
                 print(f"\rsample chunks remaining: {n_schunks - s - 1} ", end="", flush=True)
             if checkpoint_cb is not None:
                 checkpoint_cb(
-                    {"accum": np.asarray(accum), "segments": segments, "schunk": s + 1}
+                    {
+                        "accum": np.asarray(accum),
+                        "segments": seg_base + int(seg_dev),
+                        "schunk": s + 1,
+                    }
                 )
         accum.block_until_ready()
         seconds = _time.perf_counter() - t0
+        segments = seg_base + int(seg_dev)
         if progress:
             print("\rDone.                        ", flush=True)
 
