@@ -50,7 +50,9 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
                 cfg,
                 hit_method=method,
                 mode="while",
-                max_rays_per_launch=1 << 20,
+                # ~1.9x faster than 1<<20 launches: the inter-phase
+                # compaction argsort scales superlinearly with batch size
+                max_rays_per_launch=1 << 17,
             )
             # Warm-up + compile happens inside; `seconds` excludes compile.
             res = r.render(scene, seed=seed)
@@ -127,9 +129,46 @@ def _bench_fwd_bwd_subprocess(timeout_s: int = 240):
     return None
 
 
+def _bench_forward_subprocess(timeout_s: int = 420, retries: int = 3):
+    """Run the forward benchmark in subprocesses with timeouts and retries:
+    each fresh process re-rolls the remote compiler's latency lottery
+    (observed: the same program compiles in ~40 s or hangs >10 min,
+    independently per process). A retry that succeeds prints the metric."""
+    import subprocess
+
+    code = (
+        "import sys, json; sys.path.insert(0, %r);"
+        "import bench; bench._enable_compile_cache();"
+        "r = bench.bench_forward();"
+        "print('FWD_RESULT', json.dumps(r))"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    for attempt in range(retries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=timeout_s,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("FWD_RESULT"):
+                    return json.loads(line[len("FWD_RESULT"):])
+            print(f"bench[fwd] attempt {attempt}: no result "
+                  f"(stderr tail: {out.stderr[-300:]})", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench[fwd] attempt {attempt} timed out "
+                  "(remote compiler hang); retrying", file=sys.stderr)
+        # A killed client can wedge the TPU tunnel for several minutes;
+        # give it time to recover before the next roll of the dice.
+        if attempt + 1 < retries:
+            time.sleep(90)
+    return None
+
+
 def main():
     _enable_compile_cache()
-    fwd = bench_forward()
+    fwd = _bench_forward_subprocess()
+    if fwd is None:
+        # last resort: in-process (no timeout protection)
+        fwd = bench_forward()
     extras = {}
     try:
         bwd_rate = _bench_fwd_bwd_subprocess()

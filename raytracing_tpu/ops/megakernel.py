@@ -547,6 +547,7 @@ def trace_megakernel(
     seed,
     interpret: bool = False,
     phase_depths=None,
+    active0=None,
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -575,7 +576,8 @@ def trace_megakernel(
         tb=jnp.ones((rows, TILE), f32),
         rr=jnp.zeros((rows, TILE), f32), rg=jnp.zeros((rows, TILE), f32),
         rb=jnp.zeros((rows, TILE), f32),
-        act=jnp.ones((rows, TILE), f32),
+        act=(jnp.ones((rows, TILE), f32) if active0 is None
+             else r2(active0.astype(f32))),
     )
     if phase_depths is None:
         phase_depths = [max_depth]

@@ -76,6 +76,7 @@ def trace(
     hit_fn: HitFn = closest_hit_brute,
     mode: str = "scan",      # "scan" (differentiable) | "while" (early-exit)
     remat: bool = True,
+    active0=None,            # (B,) bool initial liveness (e.g. padded rays)
 ):
     """Trace a megabatch of rays to completion.
 
@@ -90,7 +91,7 @@ def trace(
     background = jnp.asarray(background, jnp.float32)
     radiance = jnp.zeros((B, 3), jnp.float32)
     throughput = jnp.ones((B, 3), jnp.float32)
-    active = jnp.ones((B,), bool)
+    active = jnp.ones((B,), bool) if active0 is None else active0
     segments = jnp.zeros((), jnp.int32)
     state = (o, d, time, pixel_ids, sample_ids, radiance, throughput, active, segments)
 

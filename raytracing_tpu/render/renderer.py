@@ -78,6 +78,9 @@ def _render_chunk(
     o, d, t = cam_mod.generate_rays(
         cfg, derived, pixel_ids, sample_ids, seed, motion_blur=scene.flags.has_moving
     )
+    # Padded tail samples (sample >= spp) start dead: they neither trace
+    # (no wasted bounces) nor count toward the segments metric.
+    valid0 = sample_ids < cfg.samples_per_pixel
     if mega is not None:
         from ..ops.megakernel import trace_megakernel
 
@@ -89,7 +92,7 @@ def _render_chunk(
             phases = [2, 4, cfg.max_depth - 6]
         radiance, segments = trace_megakernel(
             mega, o, d, t, pixel_ids, sample_ids, cfg.background,
-            cfg.max_depth, seed, phase_depths=phases,
+            cfg.max_depth, seed, phase_depths=phases, active0=valid0,
         )
     else:
         radiance, segments = trace(
@@ -105,6 +108,7 @@ def _render_chunk(
             hit_fn=hit_fn,
             mode=mode,
             remat=remat,
+            active0=valid0,
         )
     # Mask samples past spp (tail of the last sample chunk).
     valid = (sample_ids < cfg.samples_per_pixel)[:, None]

@@ -44,6 +44,12 @@ class TestGolden:
     def test_checkered_spheres(self):
         _compare("checkered_spheres")
 
+    def test_earth_image_texture(self):
+        # image-texture lookup path (nearest-neighbor, v-flip, atlas);
+        # uses the deterministic procedural fallback texture
+        _compare("earth", cam_overrides=dict(image_width=48, samples_per_pixel=2,
+                                             max_depth=4))
+
     def test_perlin_sphere(self):
         # Looser bulk tolerance: 7-octave turbulence at scale 4 on a r=1000
         # ground sphere evaluates noise at coords ~6e4 where f32 has ~4e-3
