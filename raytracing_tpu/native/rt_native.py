@@ -30,11 +30,13 @@ def _build() -> bool:
 
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
+    # RT_NATIVE=0 is honored per *call*, not only on first load: tests flip
+    # it to force the NumPy fallback after the library has been used.
+    if os.environ.get("RT_NATIVE", "1") == "0":
+        return None
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if os.environ.get("RT_NATIVE", "1") == "0":
-        return None
     if not os.path.exists(_SO_PATH) or (
         os.path.getmtime(_SO_PATH) < os.path.getmtime(os.path.join(_HERE, "rt_native.cpp"))
     ):

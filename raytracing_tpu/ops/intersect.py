@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
+from ..core import interval as iv
 from ..core import vecmath as vm
 from ..scene.types import Scene
 
@@ -70,8 +71,8 @@ def sphere_ts(
     root1 = (-half_b + sqrtd) / a
     if jnp.ndim(t_max) == 1:
         t_max = t_max[:, None]
-    ok0 = (root0 > t_min) & (root0 < t_max)
-    ok1 = (root1 > t_min) & (root1 < t_max)
+    ok0 = iv.surrounds(t_min, t_max, root0)  # open root test (sphere.hpp:70/:75)
+    ok1 = iv.surrounds(t_min, t_max, root1)
     root = jnp.where(ok0, root0, root1)
     hit = (disc >= 0.0) & (ok0 | ok1) & (sph.radius > 0.0)[None, :]
     return jnp.where(hit, root, BIG)
@@ -123,12 +124,9 @@ def quad_ts(
     hit = (
         (jnp.abs(denom) >= PARALLEL_EPS)
         & ~degenerate[None, :]
-        & (t > t_min)
-        & (t < t_max)
-        & (alpha >= 0.0)
-        & (alpha <= 1.0)
-        & (beta >= 0.0)
-        & (beta <= 1.0)
+        & iv.surrounds(t_min, t_max, t)
+        & iv.contains(0.0, 1.0, alpha)  # is_interior (quad.hpp:97-114)
+        & iv.contains(0.0, 1.0, beta)
     )
     return jnp.where(hit, t, BIG)
 

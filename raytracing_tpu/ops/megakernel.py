@@ -72,22 +72,46 @@ class MegaScene(NamedTuple):
     n_sph_pad: int        # sphere rows occupy [0, n_sph_pad)
     n_prims: int          # total rows P (multiple of CHUNK)
     supported: bool
+    # in-kernel chunked BVH (ops/mega_bvh.py); None → brute-force only
+    bvh_nodes: jnp.ndarray | None = None   # (8, K_pad128)
+    sph_leaf: jnp.ndarray | None = None    # (64, LS_pad128)
+    quad_leaf: jnp.ndarray | None = None   # (192, LQ_pad128)
+    n_nodes: int = 0
+    n_sph_chunks: int = 0
+    n_quad_chunks: int = 0
+
+
+# use the in-kernel BVH walk once the scene has more than this many
+# primitive chunks (below it, the dense pairwise sweep is cheaper: a node
+# step costs about as much as testing one 8-primitive chunk outright)
+BVH_MIN_CHUNKS = 16
 
 
 def build_mega_scene(scene: Scene) -> MegaScene:
-    table, ns_pad, _nq, supported = fl.unified_table(scene, chunk=CHUNK)
+    table, ns_pad, nq, supported = fl.unified_table(scene, chunk=CHUNK)
     # kernel layout: primitives on sublanes, fields on lanes (padded to 128)
     t = np.zeros((table.shape[1], TILE), np.float32)
     t[:, : table.shape[0]] = np.asarray(table).T
     p_pad = -(-table.shape[1] // TILE) * TILE
     tt = np.zeros((fl.U_FIELDS, p_pad), np.float32)
     tt[:, : table.shape[1]] = np.asarray(table)
+
+    from . import mega_bvh
+
+    n_sph = int(np.count_nonzero(np.asarray(table)[fl.U_G6, :ns_pad] > 0))
+    cb = mega_bvh.build_chunked_bvh(np.asarray(table), ns_pad, n_sph, nq)
     return MegaScene(
         table=jnp.asarray(t),
         table_t=jnp.asarray(tt),
         n_sph_pad=ns_pad,
         n_prims=table.shape[1],
         supported=supported,
+        bvh_nodes=jnp.asarray(cb.node_tab),
+        sph_leaf=jnp.asarray(cb.sph_leaf_tab),
+        quad_leaf=jnp.asarray(cb.quad_leaf_tab),
+        n_nodes=cb.n_nodes,
+        n_sph_chunks=cb.n_sph_chunks,
+        n_quad_chunks=cb.n_quad_chunks,
     )
 
 
@@ -125,9 +149,20 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 
 def make_megakernel(mega: MegaScene, *, max_depth: int, background,
-                    tmin: float = T_MIN, interpret: bool = False):
+                    tmin: float = T_MIN, interpret: bool = False,
+                    use_bvh: bool | None = None, ablate: tuple = ()):
     """Returns ``fn(table, rays...) -> (rad_r, rad_g, rad_b, bounces)`` on
-    ``(n_tiles, 128)`` ray component arrays."""
+    ``(n_tiles, 128)`` ray component arrays.
+
+    ``use_bvh`` selects the closest-hit strategy inside the kernel: the
+    per-lane stackless chunked-BVH walk (ops/mega_bvh.py; reference
+    semantics bvh_node.hpp:80-95) or the dense pairwise sweep over every
+    primitive chunk. Default (None): BVH when the scene is large enough
+    (> BVH_MIN_CHUNKS chunks) for the walk to out-prune the sweep.
+
+    ``ablate`` (perf-diagnosis only, wrong images): drop named stages —
+    'resolve' (winner-attribute gathers), 'shade' (material math), 'rng'.
+    """
     n_prims = mega.n_prims
     ns_pad = mega.n_sph_pad
     n_chunks = n_prims // CHUNK
@@ -135,8 +170,17 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
     tabt_shape1 = mega.table_t.shape[1]
     bg_r, bg_g, bg_b = (float(background[0]), float(background[1]), float(background[2]))
     U = fl
+    if use_bvh is None:
+        use_bvh = mega.bvh_nodes is not None and n_chunks > BVH_MIN_CHUNKS
+    if use_bvh:
+        assert mega.bvh_nodes is not None, "mega scene built without a BVH"
+    n_node_lanes = mega.bvh_nodes.shape[1] if use_bvh else TILE
+    ls_lanes = mega.sph_leaf.shape[1] if use_bvh else TILE
+    lq_lanes = mega.quad_leaf.shape[1] if use_bvh else TILE
+    n_sph_chunks = mega.n_sph_chunks
+    n_quad_chunks = mega.n_quad_chunks
 
-    def kernel(tab_ref, tabt_ref,
+    def kernel(tab_ref, tabt_ref, nodes_ref, sleaf_ref, qleaf_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                pix_ref, smp_ref,
                tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref, act_ref,
@@ -265,6 +309,157 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                 carry = quad_chunk(k, carry)
             return carry
 
+        def gather8(tab_ref, row0, n_lanes, idx):
+            """Fetch sublane rows [row0, row0+8) of a (rows, n_lanes) VMEM
+            table at per-lane indices ``idx`` (1, 128) i32 → (8, 128).
+            Lane gathers only address 128 lanes, so wider tables are walked
+            in 128-lane chunks combined with a range select (same pattern
+            as resolve())."""
+            out = None
+            for c in range(n_lanes // TILE):
+                local = jnp.clip(idx - c * TILE, 0, TILE - 1)
+                idx8 = jnp.broadcast_to(local, (CHUNK, TILE))
+                rows = tab_ref[row0:row0 + CHUNK, c * TILE:(c + 1) * TILE]
+                g = jnp.take_along_axis(rows, idx8, axis=1)
+                if out is None:
+                    out = g
+                else:
+                    use = (idx >= c * TILE) & (idx < (c + 1) * TILE)
+                    out = jnp.where(use, g, out)
+            return out
+
+        def intersect_bvh(ox, oy, oz, dx, dy, dz, tmv, act):
+            """Closest hit via the per-lane stackless chunked-BVH walk
+            (ops/mega_bvh.py; reference bvh_node.hpp:80-95 semantics: AABB
+            slab reject + closest-so-far clipping). Each iteration every
+            live lane advances one node — internal hit descends (preorder
+            i+1), miss follows the skip link — and any lane that landed on
+            a leaf immediately pairwise-intersects that leaf's 8 member
+            primitives, shrinking its t_best so later slab tests prune
+            harder. Returns (t (1,128), idx (1,128) f32; idx<0 = miss)."""
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+
+            def safe_inv(v):
+                # axis-parallel rays: ±inf reciprocals work in the slab
+                # algebra, but Mosaic's min/max NaN behavior is safer
+                # avoided — clamp like ops/traverse.py:_DIR_EPS
+                s = jnp.where(v < 0.0, -1.0, 1.0)
+                return s / jnp.maximum(jnp.abs(v), 1e-20)
+
+            ivx = safe_inv(dx)
+            ivy = safe_inv(dy)
+            ivz = safe_inv(dz)
+
+            def leaf_sphere(pend, tb, ib):
+                mask = (pend >= 0.0) & (pend < float(n_sph_chunks))
+                ci = jnp.clip(pend.astype(jnp.int32), 0, ls_lanes - 1)
+                f = [gather8(sleaf_ref, fi * CHUNK, ls_lanes, ci)
+                     for fi in range(8)]
+                cx = f[0] + tmv * f[3]
+                cy = f[1] + tmv * f[4]
+                cz = f[2] + tmv * f[5]
+                r = f[6]
+                gid = f[7]
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+                disc = half_b * half_b - a * cq
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                root0 = (-half_b - sq) * inv_a
+                root1 = (-half_b + sq) * inv_a
+                ok0 = (root0 > tmin) & (root0 < tb)
+                ok1 = (root1 > tmin) & (root1 < tb)
+                root = jnp.where(ok0, root0, root1)
+                valid = (disc >= 0.0) & (ok0 | ok1) & (r > 0.0) & mask
+                cand = jnp.where(valid, root, BIG)
+                cmin = jnp.min(cand, axis=0, keepdims=True)
+                gsel = jnp.where(cand == cmin, gid, BIG)
+                gmin = jnp.min(gsel, axis=0, keepdims=True)
+                imp = cmin < tb
+                tb = jnp.where(imp, cmin, tb)
+                ib = jnp.where(imp, gmin, ib)
+                return tb, ib
+
+            def leaf_quad(pend, tb, ib):
+                mask = (pend >= float(n_sph_chunks)) & (
+                    pend < float(n_sph_chunks + n_quad_chunks)
+                )
+                ci = jnp.clip(
+                    pend.astype(jnp.int32) - n_sph_chunks, 0, lq_lanes - 1
+                )
+                f = [gather8(qleaf_ref, fi * CHUNK, lq_lanes, ci)
+                     for fi in range(17)]
+                nx, ny, nz, Dd, wx, wy, wz, gid = f[0:8]
+                qx, qy, qz, ux, uy, uz, vx, vy, vz = f[8:17]
+                denom = _dot3(nx, ny, nz, dx, dy, dz)
+                safe = jnp.where(jnp.abs(denom) < 1e-8, 1.0, denom)
+                tq = (Dd - _dot3(nx, ny, nz, ox, oy, oz)) / safe
+                px = ox + tq * dx - qx
+                py = oy + tq * dy - qy
+                pz = oz + tq * dz - qz
+                alpha = (wx * (py * vz - pz * vy) + wy * (pz * vx - px * vz)
+                         + wz * (px * vy - py * vx))
+                beta = (wx * (uy * pz - uz * py) + wy * (uz * px - ux * pz)
+                        + wz * (ux * py - uy * px))
+                valid = (
+                    (jnp.abs(denom) >= 1e-8)
+                    & (tq > tmin) & (tq < tb)
+                    & (alpha >= 0.0) & (alpha <= 1.0)
+                    & (beta >= 0.0) & (beta <= 1.0)
+                    & mask
+                )
+                cand = jnp.where(valid, tq, BIG)
+                cmin = jnp.min(cand, axis=0, keepdims=True)
+                gsel = jnp.where(cand == cmin, gid, BIG)
+                gmin = jnp.min(gsel, axis=0, keepdims=True)
+                imp = cmin < tb
+                tb = jnp.where(imp, cmin, tb)
+                ib = jnp.where(imp, gmin, ib)
+                return tb, ib
+
+            def walk_body(carry):
+                node, tb, ib = carry
+                live = node >= 0.0
+                ni = jnp.clip(node.astype(jnp.int32), 0, n_node_lanes - 1)
+                g = gather8(nodes_ref, 0, n_node_lanes, ni)
+                t0x = (g[0:1, :] - ox) * ivx
+                t1x = (g[3:4, :] - ox) * ivx
+                t0y = (g[1:2, :] - oy) * ivy
+                t1y = (g[4:5, :] - oy) * ivy
+                t0z = (g[2:3, :] - oz) * ivz
+                t1z = (g[5:6, :] - oz) * ivz
+                enter = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+                )
+                exit_ = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), tb),
+                )
+                boxhit = (enter < exit_) & live
+                leafc = g[7:8, :]
+                is_leaf = leafc >= 0.0
+                nxt = jnp.where(boxhit & ~is_leaf, node + 1.0, g[6:7, :])
+                node = jnp.where(live, nxt, node)
+                pend = jnp.where(boxhit & is_leaf, leafc, -1.0)
+                if n_sph_chunks > 0:
+                    tb, ib = leaf_sphere(pend, tb, ib)
+                if n_quad_chunks > 0:
+                    tb, ib = leaf_quad(pend, tb, ib)
+                return node, tb, ib
+
+            def walk_cond(carry):
+                return jnp.max(carry[0]) >= 0.0
+
+            node0 = jnp.where(act > 0.5, zero, zero - 1.0)
+            _, tb, ib = jax.lax.while_loop(
+                walk_cond, walk_body, (node0, zero + BIG, zero - 1.0)
+            )
+            return tb, ib
+
         n_lane_chunks = tabt_shape1 // TILE
         n_field_groups = 3  # fields 0..23 in sublane groups of 8 (17 used)
 
@@ -310,12 +505,18 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                  rad_r, rad_g, rad_b, active_f, bounces) = carry
                 active = active_f > 0.5
 
-                t, ib = intersect(ox, oy, oz, dx, dy, dz, tmv)
+                if use_bvh:
+                    t, ib = intersect_bvh(ox, oy, oz, dx, dy, dz, tmv, active_f)
+                else:
+                    t, ib = intersect(ox, oy, oz, dx, dy, dz, tmv)
                 FIELDS = (U.U_G0, U.U_G1, U.U_G2, U.U_G3, U.U_G4, U.U_G5,
                           U.U_G6, U.U_MTYPE, U.U_PARAM, U.U_AR, U.U_AG,
                           U.U_AB, U.U_TKIND, U.U_TSCALE, U.U_A2R, U.U_A2G,
                           U.U_A2B)
-                attrs = resolve(ib, FIELDS)
+                if "resolve" in ablate:
+                    attrs = {f: zero + 0.5 for f in FIELDS}
+                else:
+                    attrs = resolve(ib, FIELDS)
 
                 def at(f):
                     return attrs[f]  # (1, 128)
@@ -365,82 +566,101 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                 ab = jnp.where(use2, at(U.U_A2B), ab)
 
                 # RNG for this bounce (core/rng.py stream layout)
-                ctr = jnp.full(ox.shape, jnp.uint32(0)) + (
-                    (b.astype(jnp.uint32) + b_off) * jnp.uint32(4) + jnp.uint32(2)
-                )
-                v0, v1, v2, _ = _pcg4d(pix, smp, ctr, seed_t)
-                u0 = _u01(v0)
-                u1 = _u01(v1)
-                u2 = _u01(v2)
-                zdir = 1.0 - 2.0 * u0
-                rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - zdir * zdir))
-                phi = (2.0 * jnp.pi) * u1
-                rux = rho * jnp.cos(phi)
-                ruy = rho * jnp.sin(phi)
-                ruz = zdir
+                if "rng" in ablate:
+                    u0 = zero + 0.25
+                    u1 = zero + 0.5
+                    u2 = zero + 0.75
+                else:
+                    ctr = jnp.full(ox.shape, jnp.uint32(0)) + (
+                        (b.astype(jnp.uint32) + b_off) * jnp.uint32(4) + jnp.uint32(2)
+                    )
+                    v0, v1, v2, _ = _pcg4d(pix, smp, ctr, seed_t)
+                    u0 = _u01(v0)
+                    u1 = _u01(v1)
+                    u2 = _u01(v2)
+                def _shade():
+                    zdir = 1.0 - 2.0 * u0
+                    rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - zdir * zdir))
+                    phi = (2.0 * jnp.pi) * u1
+                    rux = rho * jnp.cos(phi)
+                    ruy = rho * jnp.sin(phi)
+                    ruz = zdir
 
-                # lambertian (material.hpp:54-60)
-                ldx = nx + rux
-                ldy = ny + ruy
-                ldz = nz + ruz
-                degen = (jnp.abs(ldx) < 1e-8) & (jnp.abs(ldy) < 1e-8) & (jnp.abs(ldz) < 1e-8)
-                ldx = jnp.where(degen, nx, ldx)
-                ldy = jnp.where(degen, ny, ldy)
-                ldz = jnp.where(degen, nz, ldz)
+                    # lambertian (material.hpp:54-60)
+                    ldx = nx + rux
+                    ldy = ny + ruy
+                    ldz = nz + ruz
+                    degen = (jnp.abs(ldx) < 1e-8) & (jnp.abs(ldy) < 1e-8) & (jnp.abs(ldz) < 1e-8)
+                    ldx = jnp.where(degen, nx, ldx)
+                    ldy = jnp.where(degen, ny, ldy)
+                    ldz = jnp.where(degen, nz, ldz)
 
-                # metal (material.hpp:89-105)
-                d_dot_on = _dot3(dx, dy, dz, nx, ny, nz)
-                rdx = dx - 2.0 * d_dot_on * nx
-                rdy = dy - 2.0 * d_dot_on * ny
-                rdz = dz - 2.0 * d_dot_on * nz
-                rlen = jax.lax.rsqrt(_dot3(rdx, rdy, rdz, rdx, rdy, rdz) + 1e-30)
-                mdx = rdx * rlen + prm * rux
-                mdy = rdy * rlen + prm * ruy
-                mdz = rdz * rlen + prm * ruz
-                metal_ok = _dot3(mdx, mdy, mdz, nx, ny, nz) > 0.0
+                    # metal (material.hpp:89-105)
+                    d_dot_on = _dot3(dx, dy, dz, nx, ny, nz)
+                    rdx = dx - 2.0 * d_dot_on * nx
+                    rdy = dy - 2.0 * d_dot_on * ny
+                    rdz = dz - 2.0 * d_dot_on * nz
+                    rlen = jax.lax.rsqrt(_dot3(rdx, rdy, rdz, rdx, rdy, rdz) + 1e-30)
+                    mdx = rdx * rlen + prm * rux
+                    mdy = rdy * rlen + prm * ruy
+                    mdz = rdz * rlen + prm * ruz
+                    metal_ok = _dot3(mdx, mdy, mdz, nx, ny, nz) > 0.0
 
-                # dielectric (material.hpp:128-174)
-                dinv = jax.lax.rsqrt(_dot3(dx, dy, dz, dx, dy, dz) + 1e-30)
-                udx = dx * dinv
-                udy = dy * dinv
-                udz = dz * dinv
-                ri = jnp.where(front, 1.0 / prm, prm)
-                cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
-                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-                cannot = ri * sin_t > 1.0
-                r0 = (1.0 - ri) / (1.0 + ri)
-                r0 = r0 * r0
-                reflectance = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-                use_reflect = cannot | (reflectance > u2)
-                rpx = ri * (udx + cos_t * nx)
-                rpy = ri * (udy + cos_t * ny)
-                rpz = ri * (udz + cos_t * nz)
-                k2 = jnp.abs(1.0 - _dot3(rpx, rpy, rpz, rpx, rpy, rpz))
-                par = -jnp.sqrt(k2)
-                fdx = rpx + par * nx
-                fdy = rpy + par * ny
-                fdz = rpz + par * nz
-                u_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
-                xdx = udx - 2.0 * u_dot_n * nx
-                xdy = udy - 2.0 * u_dot_n * ny
-                xdz = udz - 2.0 * u_dot_n * nz
-                gdx = jnp.where(use_reflect, xdx, fdx)
-                gdy = jnp.where(use_reflect, xdy, fdy)
-                gdz = jnp.where(use_reflect, xdz, fdz)
+                    # dielectric (material.hpp:128-174)
+                    dinv = jax.lax.rsqrt(_dot3(dx, dy, dz, dx, dy, dz) + 1e-30)
+                    udx = dx * dinv
+                    udy = dy * dinv
+                    udz = dz * dinv
+                    ri = jnp.where(front, 1.0 / prm, prm)
+                    cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
+                    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                    cannot = ri * sin_t > 1.0
+                    r0 = (1.0 - ri) / (1.0 + ri)
+                    r0 = r0 * r0
+                    reflectance = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+                    use_reflect = cannot | (reflectance > u2)
+                    rpx = ri * (udx + cos_t * nx)
+                    rpy = ri * (udy + cos_t * ny)
+                    rpz = ri * (udz + cos_t * nz)
+                    k2 = jnp.abs(1.0 - _dot3(rpx, rpy, rpz, rpx, rpy, rpz))
+                    par = -jnp.sqrt(k2)
+                    fdx = rpx + par * nx
+                    fdy = rpy + par * ny
+                    fdz = rpz + par * nz
+                    u_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
+                    xdx = udx - 2.0 * u_dot_n * nx
+                    xdy = udy - 2.0 * u_dot_n * ny
+                    xdz = udz - 2.0 * u_dot_n * nz
+                    gdx = jnp.where(use_reflect, xdx, fdx)
+                    gdy = jnp.where(use_reflect, xdy, fdy)
+                    gdz = jnp.where(use_reflect, xdz, fdz)
 
-                is_metal = mt == MT_METAL
-                is_diel = mt == MT_DIELECTRIC
-                is_light = mt == MT_LIGHT
-                ndx = jnp.where(is_metal, mdx, ldx)
-                ndy = jnp.where(is_metal, mdy, ldy)
-                ndz = jnp.where(is_metal, mdz, ldz)
-                ndx = jnp.where(is_diel, gdx, ndx)
-                ndy = jnp.where(is_diel, gdy, ndy)
-                ndz = jnp.where(is_diel, gdz, ndz)
+                    is_metal = mt == MT_METAL
+                    is_diel = mt == MT_DIELECTRIC
+                    is_light = mt == MT_LIGHT
+                    ndx = jnp.where(is_metal, mdx, ldx)
+                    ndy = jnp.where(is_metal, mdy, ldy)
+                    ndz = jnp.where(is_metal, mdz, ldz)
+                    ndx = jnp.where(is_diel, gdx, ndx)
+                    ndy = jnp.where(is_diel, gdy, ndy)
+                    ndz = jnp.where(is_diel, gdz, ndz)
 
-                att_r = jnp.where(is_diel, 1.0, ar)
-                att_g = jnp.where(is_diel, 1.0, ag)
-                att_b = jnp.where(is_diel, 1.0, ab)
+                    att_r = jnp.where(is_diel, 1.0, ar)
+                    att_g = jnp.where(is_diel, 1.0, ag)
+                    att_b = jnp.where(is_diel, 1.0, ab)
+                    return (ndx, ndy, ndz, att_r, att_g, att_b,
+                            is_metal, is_diel, is_light, metal_ok)
+
+                if "shade" in ablate:
+                    is_metal = mt == MT_METAL
+                    is_diel = mt == MT_DIELECTRIC
+                    is_light = mt == MT_LIGHT
+                    metal_ok = u0 > -1.0
+                    ndx, ndy, ndz = dx, dy, dz
+                    att_r, att_g, att_b = ar, ag, ab
+                else:
+                    (ndx, ndy, ndz, att_r, att_g, att_b, is_metal, is_diel,
+                     is_light, metal_ok) = _shade()
 
                 hit_mask = active & hit
                 emit = hit_mask & is_light
@@ -498,7 +718,8 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             oact_ref[g:g + 1, :] = f_act
 
 
-    def run(table, table_t, ox, oy, oz, dx, dy, dz, tmv, pix, smp,
+    def run(table, table_t, bvh_nodes, sph_leaf, quad_leaf,
+            ox, oy, oz, dx, dy, dz, tmv, pix, smp,
             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act,
             seed_and_offset):
         """One phase over the full batch. All ray args are (n_rows, 128);
@@ -514,12 +735,16 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             + [jax.ShapeDtypeStruct((n_rows, TILE), jnp.int32)]
             + [jax.ShapeDtypeStruct((n_rows, TILE), f32)] * 10
         )
+
+        def whole(arr):
+            return pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(table_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                whole(table), whole(table_t),
+                whole(bvh_nodes), whole(sph_leaf), whole(quad_leaf),
             ] + [ray_spec] * 16 + [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -529,7 +754,8 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                 pltpu.VMEM((1, TILE), jnp.float32),        # carry-layout seed
             ],
             interpret=interpret,
-        )(table, table_t, ox, oy, oz, dx, dy, dz, tmv, pix, smp,
+        )(table, table_t, bvh_nodes, sph_leaf, quad_leaf,
+          ox, oy, oz, dx, dy, dz, tmv, pix, smp,
           thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act, seed_and_offset)
 
     return run
@@ -548,6 +774,7 @@ def trace_megakernel(
     interpret: bool = False,
     phase_depths=None,
     active0=None,
+    use_bvh: bool | None = None,
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -588,9 +815,10 @@ def trace_megakernel(
     offset = 0
     for pi, pd in enumerate(phase_depths):
         runp = make_megakernel(mega, max_depth=pd, background=background,
-                               interpret=interpret)
+                               interpret=interpret, use_bvh=use_bvh)
         so = jnp.asarray([seed, offset], jnp.uint32)
         out = runp(mega.table, mega.table_t,
+                   mega.bvh_nodes, mega.sph_leaf, mega.quad_leaf,
                    state["ox"], state["oy"], state["oz"],
                    state["dx"], state["dy"], state["dz"],
                    state["tm"], state["pix"], state["smp"],

@@ -10,13 +10,15 @@ the same closest-so-far pruning as the reference's recursive traversal
 
 The loop runs until every ray's node pointer reaches -1; divergence costs
 iterations (max walk length over the batch), not correctness. The Pallas
-kernel in ops/pallas_kernels.py is the tuned version of this same walk.
+megakernel (ops/megakernel.py) carries the tuned in-kernel version of this
+same walk.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
+from ..core import interval as iv
 from ..core import vecmath as vm
 from ..scene.types import Scene
 from .intersect import (
@@ -57,8 +59,8 @@ def _intersect_one_sphere(scene: Scene, sid, o, d, time, t_lo, t_hi):
     sqrtd = vm.safe_sqrt(disc)  # guarded (see vecmath.safe_sqrt)
     root0 = (-half_b - sqrtd) / a
     root1 = (-half_b + sqrtd) / a
-    ok0 = (root0 > t_lo) & (root0 < t_hi)
-    ok1 = (root1 > t_lo) & (root1 < t_hi)
+    ok0 = iv.surrounds(t_lo, t_hi, root0)  # open-interval root test
+    ok1 = iv.surrounds(t_lo, t_hi, root1)
     root = jnp.where(ok0, root0, root1)
     hit = (disc >= 0.0) & (ok0 | ok1) & (r > 0.0)
     return jnp.where(hit, root, BIG)

@@ -42,6 +42,7 @@ def _device_render(
     *,
     cfg: CameraConfig,
     spp_local: int,
+    dp_axis: str,
     tp_axis: Optional[str],
     sp_axis: Optional[str],
     hit_method: str,
@@ -51,8 +52,13 @@ def _device_render(
     if sp_axis is not None:
         sample0 = jax.lax.axis_index(sp_axis).astype(jnp.int32) * spp_local
     p_local = pixel_ids.shape[0]
+    # pixel_ids arrive unclamped so dp-padding pixels can start dead (they
+    # neither trace nor count); clamp only for ray generation / RNG identity.
+    pix_valid = pixel_ids < cfg.n_pixels
+    pixel_ids = jnp.minimum(pixel_ids, cfg.n_pixels - 1)
     pix = jnp.tile(pixel_ids, spp_local)
     samp = sample0 + jnp.repeat(jnp.arange(spp_local, dtype=jnp.int32), p_local)
+    active0 = jnp.tile(pix_valid, spp_local) & (samp < cfg.samples_per_pixel)
 
     derived = cam_mod.derive(cfg, params)
     o, d, t = cam_mod.generate_rays(
@@ -85,8 +91,9 @@ def _device_render(
         seed,
         hit_fn=hit_fn,
         mode=mode,
+        active0=active0,
     )
-    valid = (samp < cfg.samples_per_pixel)[:, None]
+    valid = active0[:, None]
     radiance = jnp.where(valid, radiance, 0.0)
     part = radiance.reshape(spp_local, p_local, 3).sum(axis=0)
 
@@ -96,8 +103,15 @@ def _device_render(
         part = jax.lax.psum(part, sp_axis)
         segments = jax.lax.psum(segments, sp_axis)
     if tp_axis is not None:
+        # every tp rank traces the same rays → average the replicated count
+        # (integer psum + divide; pmean on ints is float-typed)
         part = jax.lax.pmean(part, tp_axis)  # already replicated; assert it
-        segments = jax.lax.pmean(segments, tp_axis)
+        segments = jax.lax.psum(segments, tp_axis) // jax.lax.psum(
+            jnp.int32(1), tp_axis
+        )
+    # total segments over the pixel shards: out_specs declares segments
+    # replicated (P()), so it must actually be the dp-wide sum
+    segments = jax.lax.psum(segments, dp_axis)
     return part, segments
 
 
@@ -143,6 +157,7 @@ def build_sharded_renderer(
         _device_render,
         cfg=cfg,
         spp_local=spp_local,
+        dp_axis=dp,
         tp_axis=tp,
         sp_axis=sp,
         hit_method=hit_method,
@@ -174,9 +189,8 @@ def render_sharded(
     )
     if params is None:
         params = CameraParams.from_config(cfg)
-    pixel_ids = jnp.minimum(
-        jnp.arange(n_pix_pad, dtype=jnp.int32), cfg.n_pixels - 1
-    )
+    # unclamped: _device_render deactivates out-of-range padding pixels
+    pixel_ids = jnp.arange(n_pix_pad, dtype=jnp.int32)
     part, segments = fn(scene_prep, params, pixel_ids, jnp.uint32(seed))
     mean = np.asarray(part)[: cfg.n_pixels] / cfg.samples_per_pixel
     return mean.reshape(cfg.image_height, cfg.image_width, 3), int(segments)

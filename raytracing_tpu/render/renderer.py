@@ -69,8 +69,8 @@ def _render_chunk(
     Returns (block radiance *sum* over the chunk's samples (n_block, 3),
     segments traced ())."""
     derived = cam_mod.derive(cfg, params)
-    pix = pixel_start + jnp.arange(n_block, dtype=jnp.int32)
-    pix = jnp.minimum(pix, cfg.n_pixels - 1)          # clamp tail padding
+    pix_raw = pixel_start + jnp.arange(n_block, dtype=jnp.int32)
+    pix = jnp.minimum(pix_raw, cfg.n_pixels - 1)      # clamp tail padding
     pixel_ids = jnp.tile(pix, spp_chunk)              # (B,)
     sample_ids = sample_start + jnp.repeat(
         jnp.arange(spp_chunk, dtype=jnp.int32), n_block
@@ -78,9 +78,12 @@ def _render_chunk(
     o, d, t = cam_mod.generate_rays(
         cfg, derived, pixel_ids, sample_ids, seed, motion_blur=scene.flags.has_moving
     )
-    # Padded tail samples (sample >= spp) start dead: they neither trace
-    # (no wasted bounces) nor count toward the segments metric.
-    valid0 = sample_ids < cfg.samples_per_pixel
+    # Padded rays — tail samples (sample >= spp) AND the last block's
+    # clamped duplicate pixels — start dead: they neither trace (no wasted
+    # bounces) nor count toward the segments metric.
+    valid0 = (sample_ids < cfg.samples_per_pixel) & jnp.tile(
+        pix_raw < cfg.n_pixels, spp_chunk
+    )
     if mega is not None:
         from ..ops.megakernel import trace_megakernel
 
@@ -136,19 +139,29 @@ class Renderer:
         n_pix = cfg.n_pixels
         if n_pix <= max_rays_per_launch:
             self.n_block = n_pix
-            self.spp_chunk = max(1, min(cfg.samples_per_pixel, max_rays_per_launch // n_pix))
         else:
             self.n_block = max_rays_per_launch
-            self.spp_chunk = 1
-        # megakernel launches want 1024-ray multiples; the padding (clamped
-        # duplicate pixels, rows discarded on readback) is harmless for the
-        # other hit methods too, so apply it unconditionally — "auto" may
-        # resolve to the megakernel at compile time.
+        # megakernel launches want 1024-ray multiples; the padding (dead
+        # out-of-range pixels, rows discarded on readback) is harmless for
+        # the other hit methods too, so apply it unconditionally — "auto"
+        # may resolve to the megakernel at compile time. Round *before*
+        # deriving spp_chunk so rays-per-launch never exceeds the cap.
         self.n_block = -(-self.n_block // 1024) * 1024
+        self.spp_chunk = max(
+            1, min(cfg.samples_per_pixel, max_rays_per_launch // self.n_block)
+        )
         self._compiled = None
+        self._compiled_scene = None
 
     def _get_compiled(self, scene: Scene):
+        # The megakernel path bakes the flattened scene tables into the
+        # compiled fn, so the cache is keyed on scene identity: rendering a
+        # different scene rebuilds (the XLA path would be correct either way
+        # since it takes the scene as a traced argument).
+        if self._compiled is not None and scene is not self._compiled_scene:
+            self._compiled = None
         if self._compiled is None:
+            self._compiled_scene = scene
             mega = None
             hit_fn = closest_hit_brute
             method = self.hit_method
@@ -208,7 +221,10 @@ class Renderer:
 
         accum = jnp.zeros((n_blocks * self.n_block, 3), jnp.float32)
         seg_base = 0
-        seg_dev = jnp.zeros((), jnp.int32)  # accumulate on device: no per-launch sync
+        # Per-launch i32 counts stay on device (no per-launch sync) and are
+        # summed on host in int64 at the end: a device-side i32 running sum
+        # would overflow at ~2.1e9 segments (e.g. 1080p @ 500 spp, depth 50).
+        seg_parts: list = []
         launches = 0
         start_schunk = 0
         if resume_state is not None:
@@ -229,7 +245,7 @@ class Renderer:
                     seed_arr,
                 )
                 accum = accum.at[b * self.n_block : (b + 1) * self.n_block].add(rad)
-                seg_dev = seg_dev + seg
+                seg_parts.append(seg)
                 launches += 1
             if progress:
                 print(f"\rsample chunks remaining: {n_schunks - s - 1} ", end="", flush=True)
@@ -237,13 +253,14 @@ class Renderer:
                 checkpoint_cb(
                     {
                         "accum": np.asarray(accum),
-                        "segments": seg_base + int(seg_dev),
+                        "segments": seg_base
+                        + int(np.sum(np.asarray(seg_parts, np.int64))),
                         "schunk": s + 1,
                     }
                 )
         accum.block_until_ready()
         seconds = _time.perf_counter() - t0
-        segments = seg_base + int(seg_dev)
+        segments = seg_base + int(np.sum(np.asarray(seg_parts, np.int64), initial=0))
         if progress:
             print("\rDone.                        ", flush=True)
 

@@ -169,6 +169,26 @@ class SceneBuilder:
         self.quad([mn[0], mx[1], mx[2]], dx, -dz, mat)   # top
         self.quad([mn[0], mn[1], mn[2]], dx, dz, mat)    # bottom
 
+    def translate(self, offset: Color):
+        """Instancing wrapper (reference hittable.hpp:74-117): primitives
+        added inside the ``with`` block are shifted by ``offset``.
+
+        The reference implements translate by offsetting the *ray* origin by
+        ``-offset`` before the inner hit and adding ``offset`` back to the
+        hit point (hittable.hpp:89-99). For stored-coordinate primitives
+        (spheres, quads) that is exactly equivalent to shifting the stored
+        geometry — sphere centers and quad corners — by ``+offset``, which
+        this does at scene-compile time: ``t``, normals and UVs are
+        translation-invariant, and the AABB shift (hittable.hpp:83) falls
+        out of the BVH build over the shifted coordinates.
+
+        Usage::
+
+            with b.translate((130, 0, 65)):
+                b.box((0, 0, 0), (165, 165, 165), white)
+        """
+        return _TranslateScope(self, np.asarray(offset, np.float32))
+
     # ----------------------------- compile -------------------------------
     @property
     def n_spheres(self) -> int:
@@ -281,3 +301,29 @@ class SceneBuilder:
             bvh=bvh,
             flags=flags,
         )
+
+
+class _TranslateScope:
+    """Context manager backing :meth:`SceneBuilder.translate`: records the
+    primitive counts at entry and offsets everything added inside the scope
+    on exit. Nestable — offsets compose, matching nested ``translate``
+    wrappers in the reference object graph."""
+
+    def __init__(self, builder: SceneBuilder, offset: np.ndarray):
+        self.builder = builder
+        self.offset = offset
+
+    def __enter__(self):
+        self._s0 = self.builder.n_spheres
+        self._q0 = self.builder.n_quads
+        return self.builder
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            return False
+        b = self.builder
+        for i in range(self._s0, b.n_spheres):
+            b.sph_center[i] = b.sph_center[i] + self.offset
+        for j in range(self._q0, b.n_quads):
+            b.quad_q[j] = b.quad_q[j] + self.offset
+        return False

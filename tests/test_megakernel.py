@@ -60,6 +60,101 @@ class TestMegakernel:
         # checker + motion blur + metal + dielectric + BVH-scale scene
         _compare("bouncing_spheres", depth=5, mean_tol=2e-3)
 
+
+class TestInKernelBVH:
+    """The stackless chunked-BVH walk inside the megakernel
+    (ops/mega_bvh.py + intersect_bvh) against both the in-kernel dense
+    sweep and the XLA skip-link traversal (ops/traverse.py)."""
+
+    def _rays(self, name, depth, seed=3, width=32, **kw):
+        scene, cfg = build(name, image_width=width, samples_per_pixel=1,
+                           max_depth=depth, **kw)
+        mega = build_mega_scene(scene)
+        params = CameraParams.from_config(cfg)
+        derived = cam_mod.derive(cfg, params)
+        B = BLOCK
+        pix = jnp.minimum(jnp.arange(B, dtype=jnp.int32), cfg.n_pixels - 1)
+        smp = jnp.zeros(B, jnp.int32)
+        o, d, t = cam_mod.generate_rays(
+            cfg, derived, pix, smp, jnp.uint32(seed),
+            motion_blur=scene.flags.has_moving,
+        )
+        return scene, cfg, mega, o, d, t, pix, smp
+
+    def test_bvh_bitmatches_brute_bouncing_spheres(self):
+        """Same kernel, walk vs dense sweep: identical math order per
+        candidate → bit-identical radiance and segment counts."""
+        scene, cfg, mega, o, d, t, pix, smp = self._rays("bouncing_spheres", 8)
+        args = (mega, o, d, t, pix, smp, cfg.background, 8, jnp.uint32(3))
+        r_bvh, s_bvh = trace_megakernel(*args, interpret=True, use_bvh=True)
+        r_brt, s_brt = trace_megakernel(*args, interpret=True, use_bvh=False)
+        np.testing.assert_array_equal(np.asarray(r_bvh), np.asarray(r_brt))
+        assert int(s_bvh) == int(s_brt)
+
+    def test_bvh_matches_xla_traversal(self):
+        """Against the independent XLA lockstep skip-link walk
+        (closest_hit_bvh) driving the XLA integrator — different code path
+        and op order, so tolerance-level (stochastic coin flips possible)."""
+        from raytracing_tpu.ops.traverse import closest_hit_bvh
+
+        scene, cfg, mega, o, d, t, pix, smp = self._rays("bouncing_spheres", 6)
+        r_mk, s_mk = trace_megakernel(
+            mega, o, d, t, pix, smp, cfg.background, 6, jnp.uint32(3),
+            interpret=True, use_bvh=True,
+        )
+        r_ref, s_ref = trace(
+            scene, o, d, t, pix, smp, jnp.asarray(cfg.background), 6,
+            jnp.uint32(3), hit_fn=closest_hit_bvh,
+        )
+        diff = np.abs(np.asarray(r_mk) - np.asarray(r_ref))
+        assert diff.mean() < 2e-3
+        assert abs(int(s_mk) - int(s_ref)) <= max(4, int(s_ref) // 200)
+
+    def test_bvh_quad_scene(self):
+        """Quad leaf chunks: cornell forced through the walk (it defaults
+        to the dense sweep at 3 chunks)."""
+        scene, cfg, mega, o, d, t, pix, smp = self._rays("cornell_box", 5)
+        args = (mega, o, d, t, pix, smp, cfg.background, 5, jnp.uint32(3))
+        r_bvh, s_bvh = trace_megakernel(*args, interpret=True, use_bvh=True)
+        r_brt, s_brt = trace_megakernel(*args, interpret=True, use_bvh=False)
+        np.testing.assert_array_equal(np.asarray(r_bvh), np.asarray(r_brt))
+        assert int(s_bvh) == int(s_brt)
+
+    def test_bvh_mixed_scene(self):
+        """Spheres + quads + emissive (simple-light geometry but with solid
+        textures so the megakernel supports it)."""
+        from raytracing_tpu.scene.builder import SceneBuilder
+        from raytracing_tpu.render.camera import CameraConfig
+
+        b = SceneBuilder()
+        ground = b.lambertian((0.6, 0.6, 0.2))
+        b.sphere((0, -1000, 0), 1000.0, ground)
+        for i in range(24):
+            b.sphere((i % 6 * 2 - 5, 0.5, i // 6 * 2 - 3), 0.5,
+                     b.lambertian((0.2 + 0.03 * i, 0.4, 0.6)))
+        light = b.diffuse_light((4.0, 4.0, 4.0))
+        b.quad((3, 1, -2), (2, 0, 0), (0, 2, 0), light)
+        b.sphere((0, 7, 0), 2.0, light)
+        scene = b.compile()
+        cfg = CameraConfig(image_width=32, aspect_ratio=1.0,
+                           samples_per_pixel=1, max_depth=6,
+                           vfov=20.0, lookfrom=(26.0, 3.0, 6.0),
+                           lookat=(0.0, 2.0, 0.0),
+                           background=(0.0, 0.0, 0.0))
+        mega = build_mega_scene(scene)
+        assert mega.n_sph_chunks > 0 and mega.n_quad_chunks > 0
+        params = CameraParams.from_config(cfg)
+        derived = cam_mod.derive(cfg, params)
+        pix = jnp.minimum(jnp.arange(BLOCK, dtype=jnp.int32), cfg.n_pixels - 1)
+        smp = jnp.zeros(BLOCK, jnp.int32)
+        o, d, t = cam_mod.generate_rays(cfg, derived, pix, smp, jnp.uint32(5),
+                                        motion_blur=False)
+        args = (mega, o, d, t, pix, smp, cfg.background, 6, jnp.uint32(5))
+        r_bvh, s_bvh = trace_megakernel(*args, interpret=True, use_bvh=True)
+        r_brt, s_brt = trace_megakernel(*args, interpret=True, use_bvh=False)
+        np.testing.assert_array_equal(np.asarray(r_bvh), np.asarray(r_brt))
+        assert int(s_bvh) == int(s_brt)
+
     def test_unsupported_textures_fall_back(self):
         scene, _ = build("perlin_sphere", image_width=16, samples_per_pixel=1)
         mega = build_mega_scene(scene)

@@ -77,7 +77,7 @@ class TestShardedGradients:
         mesh = make_mesh((2, 2, 2), ("dp", "tp", "sp"))
         fn, scene_prep, n_pix_pad = build_sharded_renderer(scene, cfg, mesh)
         cam = CameraParams.from_config(cfg)
-        pix = jnp.minimum(jnp.arange(n_pix_pad, dtype=jnp.int32), cfg.n_pixels - 1)
+        pix = jnp.arange(n_pix_pad, dtype=jnp.int32)  # padding pixels start dead
 
         # Shading-parameter (albedo) gradients are always nonzero; geometry
         # grads are 0 on flat-shaded scenes (see diff/gradients.py contract).

@@ -58,6 +58,10 @@ class TestNative:
         nat = rt_native.build_bvh_flat(bmin, bmax, ids)
         os.environ["RT_NATIVE"] = "0"
         try:
+            # RT_NATIVE=0 must actually disable the native library (it is
+            # honored per-call, not cached — see rt_native._load), otherwise
+            # this test would compare the native builder to itself.
+            assert not rt_native.available()
             from raytracing_tpu.ops.bvh import build_bvh
 
             fb = build_bvh(
