@@ -66,40 +66,55 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
     return best
 
 
-def bench_fwd_bwd(width=200, spp=8, max_depth=20, seed=7):
-    """Forward+backward throughput: grad of MSE w.r.t. scene params."""
+def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
+    """Forward+backward throughput on the BASELINE final-scene workload
+    (400×225 @ 100 spp, depth 20): grad of per-chunk MSE w.r.t. scene
+    params (sphere centers + albedos), sample-chunked so each XLA program
+    stays under the remote compiler's hang threshold.
+
+    Honest accounting (round-1 review item 2): segments are the *actual*
+    ray-scene queries counted by the forward pass (active-mask sum,
+    returned through the grad via has_aux) — not the pixels·spp·depth
+    upper bound — and each segment is counted once even though fwd+bwd
+    touches it twice.
+    """
     import jax
     import jax.numpy as jnp
 
     from raytracing_tpu.diff.gradients import render_once
     from raytracing_tpu.models.scenes import build
+    from raytracing_tpu.ops.traverse import closest_hit_bvh
 
     scene, cfg = build(
         "bouncing_spheres", image_width=width, samples_per_pixel=spp, max_depth=max_depth
     )
     target = jnp.zeros((cfg.image_height, cfg.image_width, 3), jnp.float32)
 
-    def loss(center, rgb):
+    def loss(center, rgb, sample0):
         s = scene.replace(
             spheres=scene.spheres.replace(center=center),
             textures=scene.textures.replace(rgb=rgb),
         )
-        img = render_once(s, cfg, seed=seed, remat=True)
-        return jnp.mean((img - target) ** 2)
+        img, segments = render_once(
+            s, cfg, seed=seed, remat=True, hit_fn=closest_hit_bvh,
+            sample_start=sample0, spp=spp_chunk, return_segments=True,
+        )
+        return jnp.mean((img - target) ** 2), segments
 
-    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1), has_aux=True))
     args = (scene.spheres.center, scene.textures.rgb)
-    g(*args)[0].block_until_ready()  # compile
-    n_rays = cfg.n_pixels * cfg.samples_per_pixel * max_depth  # upper bound on segments
+    g(*args, jnp.int32(0))[0][0].block_until_ready()  # compile
+    n_chunks = spp // spp_chunk
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        out = g(*args)
-    out[0].block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    # Conservative: count primary×depth as segments for fwd+bwd (no early-out
-    # counting available through grad). Report as its own extra.
-    return dict(seconds=dt, rays_upper_bound=n_rays, rays_per_s_bound=n_rays / dt)
+    total_segments = 0
+    outs = []
+    for c in range(n_chunks):
+        (loss_v, seg), grads = g(*args, jnp.int32(c * spp_chunk))
+        outs.append(seg)
+    total_segments = int(sum(int(s) for s in outs))
+    dt = time.perf_counter() - t0
+    return dict(seconds=dt, segments=total_segments,
+                rays_per_s=total_segments / dt)
 
 
 def _bench_fwd_bwd_subprocess(timeout_s: int = 240):
@@ -110,10 +125,10 @@ def _bench_fwd_bwd_subprocess(timeout_s: int = 240):
     import subprocess
 
     code = (
-        "import sys; sys.path.insert(0, %r);"
+        "import sys, json; sys.path.insert(0, %r);"
         "import bench; bench._enable_compile_cache();"
         "r = bench.bench_fwd_bwd();"
-        "print('FWD_BWD_RESULT', r['rays_per_s_bound'])"
+        "print('FWD_BWD_RESULT', json.dumps(r))"
     ) % os.path.dirname(os.path.abspath(__file__))
     try:
         out = subprocess.run(
@@ -122,7 +137,7 @@ def _bench_fwd_bwd_subprocess(timeout_s: int = 240):
         )
         for line in out.stdout.splitlines():
             if line.startswith("FWD_BWD_RESULT"):
-                return float(line.split()[1])
+                return json.loads(line[len("FWD_BWD_RESULT"):])
     except subprocess.TimeoutExpired:
         print("bench[fwd_bwd] timed out (remote compiler hang); omitting",
               file=sys.stderr)
@@ -163,7 +178,89 @@ def _bench_forward_subprocess(timeout_s: int = 420, retries: int = 3):
     return None
 
 
+def bench_scaling(n_devices=8, width=200, spp=16, max_depth=8, seed=7):
+    """Scaling-efficiency smoke harness (SURVEY.md §4.4): rays/s on a
+    dp-mesh of N devices vs 1 device, efficiency = rate_N / (N · rate_1).
+
+    Runs on whatever devices the backend exposes — real chips when a
+    multi-chip slice is attached, else virtual CPU devices (which validates
+    the sharding machinery and collective structure; absolute CPU rates are
+    not meaningful). Invoke via ``python bench.py --devices N``.
+    """
+    import jax
+    import numpy as np
+
+    from raytracing_tpu.models.scenes import build
+    from raytracing_tpu.parallel.mesh import make_mesh
+    from raytracing_tpu.parallel.shard import build_sharded_renderer
+    from raytracing_tpu.render.camera import CameraParams
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    assert len(devs) >= n_devices, f"need {n_devices} devices, have {len(devs)}"
+    scene, cfg = build(
+        "bouncing_spheres", image_width=width, samples_per_pixel=spp,
+        max_depth=max_depth,
+    )
+
+    def rate(n):
+        mesh = make_mesh((n,), ("dp",), devices=devs[:n])
+        fn, scene_prep, n_pix_pad = build_sharded_renderer(
+            scene, cfg, mesh, hit_method="bvh", mode="scan"
+        )
+        params = CameraParams.from_config(cfg)
+        pix = jnp.arange(n_pix_pad, dtype=jnp.int32)
+        part, seg = fn(scene_prep, params, pix, jnp.uint32(seed))  # compile
+        part.block_until_ready()
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            part, seg = fn(scene_prep, params, pix, jnp.uint32(seed))
+        part.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        return int(seg) / dt
+
+    r1 = rate(1)
+    rn = rate(n_devices)
+    return dict(
+        devices=n_devices,
+        rays_per_s_1dev=round(r1),
+        rays_per_s_ndev=round(rn),
+        efficiency=round(rn / (n_devices * r1), 4),
+        backend=jax.default_backend(),
+    )
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=None,
+                    help="run the dp weak-scaling harness on N devices "
+                         "(forces the CPU backend with N virtual devices "
+                         "when fewer real chips are attached)")
+    args = ap.parse_args()
+    if args.devices is not None:
+        import jax
+
+        if jax.device_count() < args.devices:
+            # relaunch on the virtual-CPU backend (the axon platform pin
+            # cannot be overridden via env; jax.config can override it,
+            # but XLA_FLAGS must be set before backend init → subprocess)
+            import subprocess
+
+            code = (
+                "import os, sys; "
+                f"os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={args.devices}'; "
+                f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r}); "
+                "import jax; jax.config.update('jax_platforms', 'cpu'); "
+                "import bench, json; "
+                f"print(json.dumps(dict(metric='scaling_efficiency_dp', unit='ratio', **bench.bench_scaling({args.devices}))))"
+            )
+            os.execv(sys.executable, [sys.executable, "-c", code])
+        print(json.dumps(dict(metric="scaling_efficiency_dp", unit="ratio",
+                              **bench_scaling(args.devices))))
+        return
     _enable_compile_cache()
     fwd = _bench_forward_subprocess()
     if fwd is None:
@@ -171,9 +268,11 @@ def main():
         fwd = bench_forward()
     extras = {}
     try:
-        bwd_rate = _bench_fwd_bwd_subprocess()
-        if bwd_rate is not None:
-            extras["fwd_bwd_rays_per_s_bound"] = round(bwd_rate)
+        bwd = _bench_fwd_bwd_subprocess()
+        if bwd is not None:
+            extras["rays_per_s_fwd_bwd"] = round(bwd["rays_per_s"])
+            extras["fwd_bwd_segments"] = int(bwd["segments"])
+            extras["fwd_bwd_seconds"] = round(bwd["seconds"], 3)
     except Exception as e:  # pragma: no cover
         print(f"bench[fwd_bwd] failed: {e}", file=sys.stderr)
     import jax

@@ -22,6 +22,7 @@ Stream layout: draws are indexed by
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Per-bounce random streams (who consumes which slot of the 4 outputs is up
 # to the sampler functions below).
@@ -30,7 +31,10 @@ STREAM_TIME = 1      # motion-blur ray time
 STREAM_SCATTER = 2   # scatter direction (x, y), Fresnel coin (z)
 N_STREAMS = 4
 
-_INV_2_24 = jnp.float32(1.0 / (1 << 24))
+# np (not jnp): a module-level jnp scalar would initialize the XLA backend
+# at import time, which breaks jax.distributed.initialize in multi-host
+# workers (it must run before any backend init). Same f32 dtype semantics.
+_INV_2_24 = np.float32(1.0 / (1 << 24))
 
 
 def pcg4d(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, d: jnp.ndarray):

@@ -48,30 +48,46 @@ def render_once(
     seed: int = 0,
     hit_fn: Callable = closest_hit_brute,
     remat: bool = True,
-) -> jnp.ndarray:
+    sample_start: int = 0,
+    spp: Optional[int] = None,
+    return_segments: bool = False,
+):
     """Fully-jittable single-launch render → (H, W, 3) mean radiance.
 
     Use for differentiable pipelines and small/medium configs (the chunked
     Renderer in render/renderer.py is for big production renders).
+
+    ``sample_start``/``spp`` select a sample sub-range (same RNG streams as
+    the full render — chunked differentiable renders accumulate over
+    ranges). ``return_segments`` additionally returns the exact number of
+    ray-scene queries traced (an int32 from the forward pass; pair with
+    ``jax.value_and_grad(..., has_aux=True)`` for honest fwd+bwd
+    throughput metrics).
     """
     if params is None:
         params = CameraParams.from_config(cfg)
     derived = cam_mod.derive(cfg, params)
     n_pix = cfg.n_pixels
-    spp = cfg.samples_per_pixel
+    if spp is None:
+        spp = cfg.samples_per_pixel
     pixel_ids = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), spp)
-    sample_ids = jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n_pix)
+    sample_ids = sample_start + jnp.repeat(
+        jnp.arange(spp, dtype=jnp.int32), n_pix
+    )
     o, d, t = cam_mod.generate_rays(
         cfg, derived, pixel_ids, sample_ids, jnp.uint32(seed),
         motion_blur=scene.flags.has_moving,
     )
-    radiance, _ = trace(
+    radiance, segments = trace(
         scene, o, d, t, pixel_ids, sample_ids,
         jnp.asarray(cfg.background, jnp.float32),
         cfg.max_depth, jnp.uint32(seed), hit_fn=hit_fn, mode="scan", remat=remat,
     )
     img = radiance.reshape(spp, n_pix, 3).mean(axis=0)
-    return img.reshape(cfg.image_height, cfg.image_width, 3)
+    img = img.reshape(cfg.image_height, cfg.image_width, 3)
+    if return_segments:
+        return img, segments
+    return img
 
 
 def mse_loss(

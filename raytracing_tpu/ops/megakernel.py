@@ -1,26 +1,38 @@
 """Pallas TPU wavefront megakernel: the full per-bounce pipeline —
-intersect → shade → scatter → RNG — with the entire scene resident in VMEM
-and the bounce loop inside the kernel.
+intersect → shade → texture → scatter → RNG — with the entire scene
+(primitive tables, chunked BVH, Perlin tables, image atlas) resident in
+VMEM and the bounce loop inside the kernel.
 
-Architecture (v2 — pairwise/chunked; see /opt/skills/guides/pallas_guide.md):
+Architecture (v3 — unrolled bounces + in-kernel BVH; see
+/opt/skills/guides/pallas_guide.md):
 
 * A tile is 128 rays; per-ray state lives in ``(1, 128)`` rows (rays on
   lanes). The grid iterates ray tiles.
-* The scene is one unified primitive table ``(P, 128)`` in VMEM — primitives
-  on sublanes, fields on lanes (scene/flatten.py unified_table). The
-  intersection loop processes primitives in chunks of 8 with *static* lane
-  indexing and 8-aligned sublane slices only: chunk fields broadcast
-  ``(8, 1)`` against ray rows ``(1, 128)`` giving pairwise ``(8, 128)``
-  candidate blocks — pure f32 VPU, no scalar loads, no gathers, no MXU in
-  the precision-critical path.
-* Closest hit carries only (t_best, winner index) per ray. The winner's
-  shading/geometry attributes are then resolved with ONE small matmul:
-  table ``(P, 128 fields)`` contracted with a one-hot ``(P, 128 rays)`` on
-  the MXU at ``Precision.HIGHEST`` (multi-pass bf16 ≈ f32; one-hot entries
-  are exact so no precision is lost).
-* The bounce loop is an in-kernel ``while_loop`` that exits when every ray
-  in the tile is dead (reference recursion cap + absorb/miss termination,
-  camera.hpp:183-231).
+* Closest hit, two strategies selected per scene size:
+  - **dense sweep**: the unified primitive table ``(P, 128)`` (primitives
+    on sublanes, fields on lanes — scene/flatten.py) is tested in chunks
+    of 8 with static indexing only: chunk fields broadcast ``(8, 1)``
+    against ray rows giving pairwise ``(8, 128)`` candidate blocks — pure
+    f32 VPU, no scalar loads, no MXU in the precision-critical path.
+  - **chunked-BVH walk** (ops/mega_bvh.py): each lane walks a preorder
+    skip-link tree over homogeneous 8-primitive leaf chunks; node fields
+    arrive via lane gathers (``take_along_axis`` on ``(8, 128)`` blocks),
+    leaves are intersected pairwise immediately so ``t_best`` shrinks and
+    later slab tests prune (bvh_node.hpp:80-95 semantics).
+* Winner attributes resolve via per-lane gathers from a transposed field
+  table — exact f32 and ~10x cheaper than the one-hot-HIGHEST-matmul
+  alternative measured in round 1.
+* Textures evaluate in-kernel for all four reference kinds: solid,
+  3-D checker, marble Perlin noise (7-octave turbulence, XOR-hash lattice
+  gathers — perlin.hpp:94-254) and nearest-texel images from a packed
+  atlas (texture.hpp:91-122; capped at flatten.MAX_KERNEL_TEXELS — larger
+  atlases fall back to the XLA path).
+* The bounce loop is **statically unrolled** per phase: a Mosaic
+  ``while_loop`` iteration was measured (round 2, v5e) to carry a ~2 µs
+  fixed floor — carry spill/relayout + cond — that dwarfs the ~0.7 µs of
+  actual VPU work per bounce. Early termination is provided between
+  phases instead: the driver runs shrinking bounce budgets with dead-ray
+  compaction between them (``trace_megakernel`` ``phase_depths``).
 * RNG is the same PCG4D counter hash as core/rng.py, evaluated in-kernel on
   u32 lanes — sampling decisions match the XLA wavefront integrator.
 
@@ -30,13 +42,15 @@ Mosaic gotchas encoded here (each found the hard way on v5e):
   * constant-initialized loop carries get pinned to replicated register
     layouts — initialize from a VMEM round-trip,
   * dynamic indexing must be 8-aligned on sublanes and is impossible on
-    lanes (hence the chunked, transposed table layout),
+    lanes (hence the chunked, transposed table layout); per-lane dynamic
+    addressing only via ``take_along_axis`` within a 128-lane window,
   * per-primitive scalar loads from SMEM stall the vector pipeline (the v1
-    design ran at ~5e5 rays/s); everything here is vector slices.
+    design ran at ~5e5 rays/s); everything here is vector slices,
+  * while_loop iterations cost ~2 µs regardless of body size — unroll
+    static trip counts, amortize data-dependent ones.
 
 This is the forward/throughput path; gradients use the XLA integrator
-(render/integrator.py). Scenes with image/noise textures fall back to the
-XLA path (``supported``).
+(render/integrator.py).
 """
 from __future__ import annotations
 
@@ -79,6 +93,12 @@ class MegaScene(NamedTuple):
     n_nodes: int = 0
     n_sph_chunks: int = 0
     n_quad_chunks: int = 0
+    # texture resources (scene/flatten.py perlin_tables / atlas_table)
+    perm_tab: jnp.ndarray | None = None    # (8, 256) Perlin permutations
+    vec_tab: jnp.ndarray | None = None     # (8, 256) Perlin gradients
+    atlas_tab: jnp.ndarray | None = None   # (8, T_pad128) packed RGB texels
+    has_noise: bool = False                # any TK_NOISE primitive
+    has_image: bool = False                # any TK_IMAGE primitive
 
 
 # use the in-kernel BVH walk once the scene has more than this many
@@ -100,6 +120,14 @@ def build_mega_scene(scene: Scene) -> MegaScene:
 
     n_sph = int(np.count_nonzero(np.asarray(table)[fl.U_G6, :ns_pad] > 0))
     cb = mega_bvh.build_chunked_bvh(np.asarray(table), ns_pad, n_sph, nq)
+    tkind = np.asarray(table)[fl.U_TKIND]
+    has_noise = bool(np.any(tkind == fl.TK_NOISE))
+    has_image = bool(np.any(tkind == fl.TK_IMAGE))
+    perm_np, vec_np = fl.perlin_tables(scene)
+    if has_image:
+        atlas_np, _, _ = fl.atlas_table(scene)
+    else:
+        atlas_np = np.zeros((8, TILE), np.float32)
     return MegaScene(
         table=jnp.asarray(t),
         table_t=jnp.asarray(tt),
@@ -112,6 +140,11 @@ def build_mega_scene(scene: Scene) -> MegaScene:
         n_nodes=cb.n_nodes,
         n_sph_chunks=cb.n_sph_chunks,
         n_quad_chunks=cb.n_quad_chunks,
+        perm_tab=jnp.asarray(perm_np),
+        vec_tab=jnp.asarray(vec_np),
+        atlas_tab=jnp.asarray(atlas_np),
+        has_noise=has_noise,
+        has_image=has_image,
     )
 
 
@@ -150,7 +183,8 @@ def _dot3(ax, ay, az, bx, by, bz):
 
 def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                     tmin: float = T_MIN, interpret: bool = False,
-                    use_bvh: bool | None = None, ablate: tuple = ()):
+                    use_bvh: bool | None = None, ablate: tuple = (),
+                    unroll: bool | None = None):
     """Returns ``fn(table, rays...) -> (rad_r, rad_g, rad_b, bounces)`` on
     ``(n_tiles, 128)`` ray component arrays.
 
@@ -172,6 +206,12 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
     U = fl
     if use_bvh is None:
         use_bvh = mega.bvh_nodes is not None and n_chunks > BVH_MIN_CHUNKS
+    if unroll is None:
+        # unrolled bounces are the fast compiled form; interpret mode (CI)
+        # keeps the while_loop so the traced graph stays small enough for
+        # the CPU interpreter/compiler (an unrolled depth-20 body is ~100k
+        # jaxpr equations and XLA-CPU chokes on it)
+        unroll = not interpret
     if use_bvh:
         assert mega.bvh_nodes is not None, "mega scene built without a BVH"
     n_node_lanes = mega.bvh_nodes.shape[1] if use_bvh else TILE
@@ -179,8 +219,12 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
     lq_lanes = mega.quad_leaf.shape[1] if use_bvh else TILE
     n_sph_chunks = mega.n_sph_chunks
     n_quad_chunks = mega.n_quad_chunks
+    has_noise = mega.has_noise
+    has_image = mega.has_image
+    atlas_lanes = mega.atlas_tab.shape[1] if mega.atlas_tab is not None else TILE
 
     def kernel(tab_ref, tabt_ref, nodes_ref, sleaf_ref, qleaf_ref,
+               perm_ref, vec_ref, atlas_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                pix_ref, smp_ref,
                tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref, act_ref,
@@ -311,10 +355,11 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
 
         def gather8(tab_ref, row0, n_lanes, idx):
             """Fetch sublane rows [row0, row0+8) of a (rows, n_lanes) VMEM
-            table at per-lane indices ``idx`` (1, 128) i32 → (8, 128).
-            Lane gathers only address 128 lanes, so wider tables are walked
-            in 128-lane chunks combined with a range select (same pattern
-            as resolve())."""
+            table at per-lane indices ``idx`` — (1, 128) i32 (same index for
+            every row) or (8, 128) (per-row indices) → (8, 128). Lane
+            gathers only address 128 lanes, so wider tables are walked in
+            128-lane chunks combined with a range select (same pattern as
+            resolve())."""
             out = None
             for c in range(n_lanes // TILE):
                 local = jnp.clip(idx - c * TILE, 0, TILE - 1)
@@ -461,7 +506,9 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             return tb, ib
 
         n_lane_chunks = tabt_shape1 // TILE
-        n_field_groups = 3  # fields 0..23 in sublane groups of 8 (17 used)
+        # fields 0..23 in sublane groups of 8 (17 used); quad-UV image
+        # lookups additionally need U_VY/U_VZ (fields 24, 25) → group 4
+        n_field_groups = 4 if (has_image and n_quad_chunks > 0) else 3
 
         def resolve(ib, fields):
             """Winner-attribute fetch via per-lane gathers. Mosaic's
@@ -564,6 +611,131 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                 ar = jnp.where(use2, at(U.U_A2R), ar)
                 ag = jnp.where(use2, at(U.U_A2G), ag)
                 ab = jnp.where(use2, at(U.U_A2B), ab)
+
+                if has_noise:
+                    # marble noise (texture.hpp:150 via perlin.hpp:94-254);
+                    # same op order as scene/perlin.py for parity. Each
+                    # octave: 8 lattice corners, each one (8,128) gather of
+                    # the three axis permutations (per-row indices) + one
+                    # gather of the gradient at the XOR hash.
+                    sub_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (CHUNK, TILE), 0
+                    )
+                    accum_t = zero
+                    weight = 1.0
+                    tpx, tpy, tpz = px, py, pz
+                    for _oct in range(7):
+                        pfx = jnp.floor(tpx)
+                        pfy = jnp.floor(tpy)
+                        pfz = jnp.floor(tpz)
+                        uu = tpx - pfx
+                        vv = tpy - pfy
+                        ww = tpz - pfz
+                        ixx = pfx.astype(jnp.int32)
+                        iyy = pfy.astype(jnp.int32)
+                        izz = pfz.astype(jnp.int32)
+                        hx_h = uu * uu * (3.0 - 2.0 * uu)
+                        hy_h = vv * vv * (3.0 - 2.0 * vv)
+                        hz_h = ww * ww * (3.0 - 2.0 * ww)
+                        acc = zero
+                        for di in (0, 1):
+                            for dj in (0, 1):
+                                for dk in (0, 1):
+                                    ix_d = (ixx + di) & 255
+                                    iy_d = (iyy + dj) & 255
+                                    iz_d = (izz + dk) & 255
+                                    idx8 = jnp.where(
+                                        sub_i == 0,
+                                        jnp.broadcast_to(ix_d, (CHUNK, TILE)),
+                                        jnp.where(
+                                            sub_i == 1,
+                                            jnp.broadcast_to(iy_d, (CHUNK, TILE)),
+                                            jnp.broadcast_to(iz_d, (CHUNK, TILE)),
+                                        ),
+                                    )
+                                    hperm = gather8(perm_ref, 0, 256, idx8)
+                                    hashv = (
+                                        hperm[0:1, :].astype(jnp.int32)
+                                        ^ hperm[1:2, :].astype(jnp.int32)
+                                        ^ hperm[2:3, :].astype(jnp.int32)
+                                    )
+                                    gv = gather8(vec_ref, 0, 256, hashv)
+                                    offx = uu - float(di)
+                                    offy = vv - float(dj)
+                                    offz = ww - float(dk)
+                                    wx = hx_h if di else 1.0 - hx_h
+                                    wy = hy_h if dj else 1.0 - hy_h
+                                    wz = hz_h if dk else 1.0 - hz_h
+                                    dotg = (gv[0:1, :] * offx
+                                            + gv[1:2, :] * offy
+                                            + gv[2:3, :] * offz)
+                                    acc = acc + wx * wy * wz * dotg
+                        accum_t = accum_t + weight * acc
+                        weight *= 0.5
+                        tpx = tpx * 2.0
+                        tpy = tpy * 2.0
+                        tpz = tpz * 2.0
+                    turb = jnp.abs(accum_t)
+                    marble = 0.5 * (1.0 + jnp.sin(ts * pz + 10.0 * turb))
+                    use_n = at(U.U_TKIND) == fl.TK_NOISE
+                    ar = jnp.where(use_n, marble, ar)
+                    ag = jnp.where(use_n, marble, ag)
+                    ab = jnp.where(use_n, marble, ab)
+
+                if has_image:
+                    # nearest-texel image lookup (texture.hpp:91-122):
+                    # sphere UV from the outward normal (sphere.hpp:100-111,
+                    # pole-safe form as ops/intersect.py hit_attributes) or
+                    # quad UV = (α, β) (quad.hpp:97-114); clamp u, flip v,
+                    # truncate to texel, gather packed atlas RGB.
+                    rxz = jnp.sqrt(
+                        jnp.maximum(own_x * own_x + own_z * own_z, 0.0)
+                    )
+                    theta = jnp.arctan2(rxz, -own_y)
+                    x_safe = jnp.where(rxz > 0.0, own_x, 1.0)
+                    phi = jnp.arctan2(-own_z, x_safe) + jnp.pi
+                    u_tex = phi * (1.0 / (2.0 * jnp.pi))
+                    v_tex = theta * (1.0 / jnp.pi)
+                    if n_quad_chunks > 0:
+                        # α/β from the winner's corner+edges (resolve
+                        # groups extended to cover U_VY/U_VZ)
+                        pqx = px - at(U.U_QX)
+                        pqy = py - at(U.U_QY)
+                        pqz = pz - at(U.U_QZ)
+                        uxq = at(U.U_UX)
+                        uyq = at(U.U_UY)
+                        uzq = at(U.U_UZ)
+                        vxq = at(U.U_VX)
+                        vyq = at(U.U_VY)
+                        vzq = at(U.U_VZ)
+                        wxq = at(U.U_G4)
+                        wyq = at(U.U_G5)
+                        wzq = at(U.U_G6)
+                        alpha_q = (wxq * (pqy * vzq - pqz * vyq)
+                                   + wyq * (pqz * vxq - pqx * vzq)
+                                   + wzq * (pqx * vyq - pqy * vxq))
+                        beta_q = (wxq * (uyq * pqz - uzq * pqy)
+                                  + wyq * (uzq * pqx - uxq * pqz)
+                                  + wzq * (uxq * pqy - uyq * pqx))
+                        u_tex = jnp.where(is_quad, alpha_q, u_tex)
+                        v_tex = jnp.where(is_quad, beta_q, v_tex)
+                    base_i = at(U.U_A2R).astype(jnp.int32)
+                    w_img = at(U.U_A2G)
+                    h_img = at(U.U_A2B)
+                    uu_c = jnp.clip(u_tex, 0.0, 1.0)
+                    vv_c = 1.0 - jnp.clip(v_tex, 0.0, 1.0)
+                    w_i = w_img.astype(jnp.int32)
+                    h_i = h_img.astype(jnp.int32)
+                    ti = jnp.clip((uu_c * w_img).astype(jnp.int32), 0,
+                                  jnp.maximum(w_i - 1, 0))
+                    tj = jnp.clip((vv_c * h_img).astype(jnp.int32), 0,
+                                  jnp.maximum(h_i - 1, 0))
+                    flat = base_i + tj * w_i + ti
+                    texel = gather8(atlas_ref, 0, atlas_lanes, flat)
+                    use_i = at(U.U_TKIND) == fl.TK_IMAGE
+                    ar = jnp.where(use_i, texel[0:1, :], ar)
+                    ag = jnp.where(use_i, texel[1:2, :], ag)
+                    ab = jnp.where(use_i, texel[2:3, :], ab)
 
                 # RNG for this bounce (core/rng.py stream layout)
                 if "rng" in ablate:
@@ -695,6 +867,17 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                     thr_r0 + zero, thr_g0 + zero, thr_b0 + zero,
                     rad_r0 + zero, rad_g0 + zero, rad_b0 + zero,
                     act0 + zero, zero)  # f32 active mask + f32 bounce counter
+            if unroll:
+                # Straight-line bounces: a Mosaic while_loop iteration has a
+                # ~2 µs fixed floor (carry spill/relayout + cond/branch —
+                # measured round 2; it dwarfs the ~0.7 µs of actual VPU
+                # compute per bounce), so phases run their static bounce
+                # budget fully unrolled. Dead-lane waste is handled by
+                # keeping phases short + compacting between them.
+                out = init
+                for _ in range(max_depth):
+                    out = bounce_body(out)
+                return out
             out = jax.lax.while_loop(cond, bounce_body, init)
             return out
 
@@ -719,6 +902,7 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
 
 
     def run(table, table_t, bvh_nodes, sph_leaf, quad_leaf,
+            perm_tab, vec_tab, atlas_tab,
             ox, oy, oz, dx, dy, dz, tmv, pix, smp,
             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act,
             seed_and_offset):
@@ -745,6 +929,7 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             in_specs=[
                 whole(table), whole(table_t),
                 whole(bvh_nodes), whole(sph_leaf), whole(quad_leaf),
+                whole(perm_tab), whole(vec_tab), whole(atlas_tab),
             ] + [ray_spec] * 16 + [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -755,6 +940,7 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             ],
             interpret=interpret,
         )(table, table_t, bvh_nodes, sph_leaf, quad_leaf,
+          perm_tab, vec_tab, atlas_tab,
           ox, oy, oz, dx, dy, dz, tmv, pix, smp,
           thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act, seed_and_offset)
 
@@ -775,6 +961,7 @@ def trace_megakernel(
     phase_depths=None,
     active0=None,
     use_bvh: bool | None = None,
+    unroll: bool | None = None,
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -815,10 +1002,12 @@ def trace_megakernel(
     offset = 0
     for pi, pd in enumerate(phase_depths):
         runp = make_megakernel(mega, max_depth=pd, background=background,
-                               interpret=interpret, use_bvh=use_bvh)
+                               interpret=interpret, use_bvh=use_bvh,
+                               unroll=unroll)
         so = jnp.asarray([seed, offset], jnp.uint32)
         out = runp(mega.table, mega.table_t,
                    mega.bvh_nodes, mega.sph_leaf, mega.quad_leaf,
+                   mega.perm_tab, mega.vec_tab, mega.atlas_tab,
                    state["ox"], state["oy"], state["oz"],
                    state["dx"], state["dy"], state["dz"],
                    state["tm"], state["pix"], state["smp"],

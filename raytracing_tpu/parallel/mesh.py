@@ -43,10 +43,36 @@ def make_mesh(
     return Mesh(dev_array, axis_names[: len(axis_sizes)])
 
 
-def initialize_distributed(coordinator: Optional[str] = None, **kwargs) -> None:
-    """Multi-host initialization (DCN). No-op when already initialized or
-    single-process. Mirrors `jax.distributed.initialize` defaults."""
+def initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    strict: Optional[bool] = None,
+    **kwargs,
+) -> bool:
+    """Multi-host bring-up (`jax.distributed.initialize` over DCN).
+
+    Returns True when the distributed runtime is (now) initialized. With no
+    explicit arguments this is best-effort auto-detection (TPU pods fill in
+    the coordination service from the environment) and failures are
+    swallowed — the single-process path keeps working. When ``coordinator``
+    / ``num_processes`` / ``process_id`` are given explicitly, failures
+    RAISE (a silently-degraded multi-host run is worse than a crash);
+    override with ``strict=False``. Exercised for real by the 2-process
+    localhost test in tests/test_multihost.py.
+    """
+    explicit = any(x is not None for x in (coordinator, num_processes, process_id))
+    if strict is None:
+        strict = explicit
     try:
-        jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+        return True
+    except Exception:
+        if strict:
+            raise
+        return jax.process_count() > 1

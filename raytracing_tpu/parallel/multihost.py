@@ -1,0 +1,92 @@
+"""Multi-process (multi-host) rendering over a global device mesh.
+
+The single-process sharded renderer (parallel/shard.py) jits over local
+arrays; under `jax.distributed` every jit input must instead be a *global*
+`jax.Array` whose shards live on the right processes. This module wraps
+build_sharded_renderer with the global-array plumbing:
+
+  * replicated inputs (scene tables, camera params) are broadcast with a
+    fully-replicated NamedSharding,
+  * the pixel axis is laid out over ``dp`` with make_array_from_callback
+    (each process materializes only its addressable shards),
+  * the per-shard radiance comes back via multihost_utils.process_allgather
+    so every process ends with the full image.
+
+RNG identity is global (pixel, sample) ids — core/rng.py — so an N-process
+render is bit-identical to the 1-process render of the same seed, which is
+the invariant tests/test_multihost.py asserts across real OS processes
+(2-process localhost `jax.distributed.initialize`, SURVEY.md §4.4).
+
+The reference has no distributed anything (single thread,
+src/core/camera.hpp:40-67); this layer is designed from the BASELINE
+multi-host scaling targets.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render.camera import CameraConfig, CameraParams
+from ..scene.types import Scene
+from .shard import build_sharded_renderer
+
+
+def global_mesh(axis_sizes, axis_names) -> Mesh:
+    """Mesh over ALL processes' devices (jax.devices() is global under
+    jax.distributed)."""
+    devs = np.asarray(jax.devices())
+    n = int(np.prod(axis_sizes))
+    if n > devs.size:
+        raise ValueError(f"mesh wants {n} devices, global pool has {devs.size}")
+    return Mesh(devs[:n].reshape(tuple(axis_sizes)), tuple(axis_names))
+
+
+def _replicate(tree, mesh: Mesh):
+    """Broadcast a host-local pytree to a fully-replicated global array."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
+
+
+def render_sharded_distributed(
+    scene: Scene,
+    cfg: CameraConfig,
+    mesh: Mesh,
+    params: Optional[CameraParams] = None,
+    seed: int = 0,
+    *,
+    hit_method: str = "brute",
+    mode: str = "scan",
+):
+    """Multi-process sharded render → ((H, W, 3) mean radiance replicated on
+    every process, total segments)."""
+    fn, scene_prep, n_pix_pad = build_sharded_renderer(
+        scene, cfg, mesh, hit_method=hit_method, mode=mode
+    )
+    if params is None:
+        params = CameraParams.from_config(cfg)
+
+    scene_g = _replicate(scene_prep, mesh)
+    params_g = _replicate(params, mesh)
+    dp_sharding = NamedSharding(mesh, P("dp"))
+    pixel_ids = jax.make_array_from_callback(
+        (n_pix_pad,), dp_sharding,
+        lambda idx: np.arange(n_pix_pad, dtype=np.int32)[idx],
+    )
+    seed_g = _replicate(jnp.uint32(seed), mesh)
+
+    part, segments = fn(scene_g, params_g, pixel_ids, seed_g)
+
+    from jax.experimental import multihost_utils
+
+    part_full = multihost_utils.process_allgather(part, tiled=True)
+    mean = np.asarray(part_full)[: cfg.n_pixels] / cfg.samples_per_pixel
+    return mean.reshape(cfg.image_height, cfg.image_width, 3), int(segments)

@@ -47,6 +47,7 @@ def _device_render(
     sp_axis: Optional[str],
     hit_method: str,
     mode: str,
+    grad_psum_axes: tuple = (),
 ):
     sample0 = jnp.int32(0)
     if sp_axis is not None:
@@ -92,6 +93,7 @@ def _device_render(
         hit_fn=hit_fn,
         mode=mode,
         active0=active0,
+        grad_psum_axes=grad_psum_axes,
     )
     valid = active0[:, None]
     radiance = jnp.where(valid, radiance, 0.0)
@@ -122,8 +124,14 @@ def build_sharded_renderer(
     *,
     hit_method: str = "brute",
     mode: str = "scan",
+    grad_psum_axes: tuple = (),
 ):
     """Compile a mesh-sharded render function.
+
+    ``grad_psum_axes``: reduce each bounce's scene-parameter cotangent over
+    these mesh axes during the backward sweep (render/integrator.py
+    make_overlapped_bounce) so grad communication overlaps backward
+    compute instead of trailing it.
 
     Returns ``(fn, scene_prepared)`` where
     ``fn(scene_prepared, params, seed) -> (radiance (n_pix_pad, 3) sample-sum,
@@ -162,6 +170,7 @@ def build_sharded_renderer(
         sp_axis=sp,
         hit_method=hit_method,
         mode=mode,
+        grad_psum_axes=tuple(grad_psum_axes),
     )
     fn = shard_map(
         body,

@@ -63,6 +63,56 @@ def _bounce_once(scene: Scene, background, seed, hit_fn: HitFn, state, bounce):
     return (o, d, time, pixel, sample, radiance, throughput, live, segments)
 
 
+def make_overlapped_bounce(hit_fn: HitFn, axes: tuple):
+    """Per-bounce gradient all-reduce (BASELINE north star / SURVEY.md §5
+    comm-backend design rule: overlap the parameter-grad psum with the
+    backward bounce sweep).
+
+    Plain reverse-mode over the bounce scan produces ONE scene-cotangent
+    psum after the entire backward sweep (shard_map's transpose reduces
+    replicated-input cotangents at the boundary) — a serial communication
+    tail. This wrapper moves the reduction *into each bounce's backward*:
+    the scene cotangent of bounce b is psum'd over ``axes`` as soon as that
+    bounce's VJP runs, so ICI traffic for bounce b overlaps the backward
+    compute of bounce b-1 and the scheduler can hide all but the last one.
+
+    Correctness under the boundary reduction: the per-bounce psum leaves
+    every device holding the *global* per-bounce cotangent; dividing by the
+    axes' total size makes the boundary's final psum reconstruct exactly
+    the unoverlapped value (N identical copies of g/N sum to g). Verified
+    bit-for-bit against the plain path in tests/test_parallel.py
+    (test_overlapped_grad_psum_identical). On-hardware overlap profiling
+    needs a real multi-chip slice; on this machine the mechanism is
+    validated on the 8-virtual-device CPU mesh.
+    """
+    # Every traced value must be an explicit custom_vjp argument (tracers
+    # may not be closed over); only the static hit_fn stays in the closure.
+    def plain(scene, bg, sd, state, bounce):
+        return _bounce_once(scene, bg, sd, hit_fn, state, bounce)
+
+    @jax.custom_vjp
+    def bounce_fn(scene, bg, sd, state, bounce):
+        return plain(scene, bg, sd, state, bounce)
+
+    def fwd(scene, bg, sd, state, bounce):
+        return plain(scene, bg, sd, state, bounce), (scene, bg, sd, state, bounce)
+
+    def bwd(res, g):
+        scene, bg, sd, state, bounce = res
+        _, vjp = jax.vjp(plain, scene, bg, sd, state, bounce)
+        s_bar, bg_bar, sd_bar, st_bar, b_bar = vjp(g)
+        inv_n = 1.0 / jax.lax.psum(jnp.ones((), jnp.float32), axes)
+        s_bar = jax.tree.map(
+            lambda x: jax.lax.psum(x, axes) * inv_n.astype(x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            s_bar,
+        )
+        return s_bar, bg_bar, sd_bar, st_bar, b_bar
+
+    bounce_fn.defvjp(fwd, bwd)
+    return bounce_fn
+
+
 def trace(
     scene: Scene,
     o: jnp.ndarray,          # (B, 3)
@@ -77,6 +127,7 @@ def trace(
     mode: str = "scan",      # "scan" (differentiable) | "while" (early-exit)
     remat: bool = True,
     active0=None,            # (B,) bool initial liveness (e.g. padded rays)
+    grad_psum_axes: tuple = (),  # mesh axes for per-bounce grad all-reduce
 ):
     """Trace a megabatch of rays to completion.
 
@@ -86,6 +137,10 @@ def trace(
 
     Rays still active after ``max_depth`` bounces contribute nothing more,
     which is exactly the reference's depth-0 black return (camera.hpp:183).
+
+    ``grad_psum_axes``: inside shard_map, reduce each bounce's scene
+    cotangent over these axes during the backward sweep (see
+    make_overlapped_bounce) instead of leaving one boundary psum at the end.
     """
     B = o.shape[0]
     background = jnp.asarray(background, jnp.float32)
@@ -95,7 +150,13 @@ def trace(
     segments = jnp.zeros((), jnp.int32)
     state = (o, d, time, pixel_ids, sample_ids, radiance, throughput, active, segments)
 
-    body = partial(_bounce_once, scene, background, seed, hit_fn)
+    if grad_psum_axes:
+        ob = make_overlapped_bounce(hit_fn, tuple(grad_psum_axes))
+
+        def body(st, bounce):
+            return ob(scene, background, seed, st, bounce)
+    else:
+        body = partial(_bounce_once, scene, background, seed, hit_fn)
 
     if mode == "while":
         def cond(carry):

@@ -182,8 +182,10 @@ class Renderer:
                 mega = build_mega_scene(scene)
                 if not mega.supported:
                     raise ValueError(
-                        "scene uses image/noise textures the megakernel does not "
-                        "support; use hit_method='brute'/'bvh'"
+                        "scene exceeds the megakernel's texture budget "
+                        "(image atlas larger than MAX_KERNEL_TEXELS, or "
+                        "bilinear filtering requested); use "
+                        "hit_method='brute'/'bvh'"
                     )
             if mega is None:
                 hit_fn = _pick_hit_fn(scene, method)

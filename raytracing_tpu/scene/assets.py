@@ -114,12 +114,16 @@ def read_ppm(path: str) -> np.ndarray:
     return img
 
 
-def generate_earthlike(height: int = 256, width: int = 512, seed: int = 7) -> np.ndarray:
+def generate_earthlike(height: int = 90, width: int = 180, seed: int = 7) -> np.ndarray:
     """Procedural earth-like equirectangular texture, float32 [0,1].
 
     Used as a stand-in for the reference's ``images/earthmap.jpg`` asset
     (which we do not copy); drop a real ``earthmap.jpg`` into ``images/`` or
     point ``$RTW_IMAGES`` at one to reproduce the reference scene exactly.
+    The default size stays within the megakernel's in-VMEM atlas budget
+    (scene/flatten.py MAX_KERNEL_TEXELS) so the earth scene runs the TPU
+    fast path; a real full-resolution asset falls back to the XLA
+    integrator to preserve exact reference parity.
     """
     rng = np.random.default_rng(seed)
     # Low-frequency value-noise continents on the sphere via random spherical

@@ -46,6 +46,15 @@ QUAD_FIELDS = 26
 # in-kernel texture kinds
 TK_SOLID = 0.0
 TK_CHECKER = 1.0
+TK_NOISE = 2.0   # marble (texture.hpp:127-156); TSCALE = noise scale
+TK_IMAGE = 3.0   # image texture (texture.hpp:91-122); A2R/A2G/A2B carry
+                 # (atlas base texel, width, height) — see atlas_table()
+
+# Largest image (H·W texels) the kernel will fetch in-VMEM. The per-lane
+# gather scans the packed atlas in 128-lane chunks, so cost grows linearly
+# with this; 16384 texels (e.g. 128×128) ≈ 128 chunk-selects per fetch.
+# Bigger images fall back to the XLA integrator path (supported=False).
+MAX_KERNEL_TEXELS = 16384
 
 # ---------------------------------------------------------------------------
 # Unified primitive table (megakernel v2): one (U_FIELDS, Np+Mq) table whose
@@ -103,9 +112,53 @@ class FlatScene(NamedTuple):
     supported: bool            # False → megakernel cannot shade this scene
 
 
-def _shading_columns(scene: Scene, mat_id: np.ndarray):
+def atlas_table(scene: Scene, max_texels: int = MAX_KERNEL_TEXELS):
+    """Pack the scene's image atlas into a gather-friendly (8, T_pad128)
+    table — rows 0..2 hold R, G, B of row-major-flattened texels, images
+    concatenated. Returns (table f32, per-image base offsets, ok). ``ok``
+    is False when the atlas exceeds ``max_texels`` (the kernel's per-lane
+    gather scans lanes in 128-wide chunks, so VMEM and fetch cost grow
+    linearly with atlas size) — callers then fall back to the XLA path."""
+    sizes = np.asarray(scene.atlas.sizes)
+    texels = np.asarray(scene.atlas.texels)
+    total = int((np.maximum(sizes[:, 0], 0) * np.maximum(sizes[:, 1], 0)).sum())
+    if total > max_texels:
+        return np.zeros((8, 128), np.float32), None, False
+    t_pad = max(128, -(-max(total, 1) // 128) * 128)
+    tab = np.zeros((8, t_pad), np.float32)
+    bases = []
+    off = 0
+    for k in range(len(sizes)):
+        h, w = int(sizes[k, 0]), int(sizes[k, 1])
+        bases.append(off)
+        if h > 0 and w > 0:
+            tab[0:3, off:off + h * w] = texels[k, :h, :w].reshape(h * w, 3).T
+            off += h * w
+    return tab, bases, True
+
+
+def perlin_tables(scene: Scene):
+    """Pack the Perlin tables (scene/perlin.py make_tables) for in-kernel
+    lane gathers: ``perm_tab (8, 256)`` rows 0..2 = perm_x/y/z (integers,
+    exact in f32) and ``vec_tab (8, 256)`` rows 0..2 = gradient x/y/z."""
+    perm = np.zeros((8, 256), np.float32)
+    perm[0] = np.asarray(scene.perlin.perm_x)
+    perm[1] = np.asarray(scene.perlin.perm_y)
+    perm[2] = np.asarray(scene.perlin.perm_z)
+    vec = np.zeros((8, 256), np.float32)
+    vec[0:3] = np.asarray(scene.perlin.randvec).T
+    return perm, vec
+
+
+def _shading_columns(scene: Scene, mat_id: np.ndarray, atlas_bases=None):
     """Per-primitive folded shading block (10 rows) for ``mat_id`` rows.
-    Returns (rows (10, n) np.float32, supported)."""
+    Returns (rows (10, n) np.float32, supported).
+
+    Texture kinds folded in-kernel: solid, checker-of-solids, marble noise
+    (TSCALE = scale) and nearest-neighbor image (A2R/A2G/A2B = atlas base,
+    width, height; reference texture.hpp:91-156). A missing image folds to
+    solid cyan — the reference's no-data sentinel (texture.hpp:99-102).
+    """
     mats = np.asarray(scene.materials.mtype)
     tex_id = np.asarray(scene.materials.tex_id)
     fuzz = np.asarray(scene.materials.fuzz)
@@ -114,6 +167,8 @@ def _shading_columns(scene: Scene, mat_id: np.ndarray):
     rgb = np.asarray(scene.textures.rgb)
     scale = np.asarray(scene.textures.scale)
     child = np.asarray(scene.textures.child)
+    image_id = np.asarray(scene.textures.image_id)
+    sizes = np.asarray(scene.atlas.sizes)
 
     n = len(mat_id)
     rows = np.zeros((10, n), np.float32)
@@ -134,8 +189,21 @@ def _shading_columns(scene: Scene, mat_id: np.ndarray):
                 tscale = scale[t]  # already inv_scale (builder.checker)
             else:
                 supported = False
-        elif ttype[t] in (TEX_IMAGE, TEX_NOISE):
-            supported = False
+        elif ttype[t] == TEX_NOISE:
+            tk = TK_NOISE
+            tscale = scale[t]
+        elif ttype[t] == TEX_IMAGE:
+            img = int(image_id[t])
+            h, w = int(sizes[img, 0]), int(sizes[img, 1])
+            if h <= 0 or w <= 0:
+                alb = np.asarray((0.0, 1.0, 1.0), np.float32)  # cyan sentinel
+            elif atlas_bases is None or scene.flags.image_bilinear:
+                # atlas too large for VMEM, or bilinear filtering requested
+                # (kernel implements the reference's nearest-neighbor only)
+                supported = False
+            else:
+                tk = TK_IMAGE
+                alb2 = np.asarray((atlas_bases[img], w, h), np.float32)
         rows[0, k] = mt
         rows[1, k] = fuzz[m] if mt != 2 else ior[m]  # PARAM: fuzz | ior
         rows[2:5, k] = alb
@@ -160,11 +228,18 @@ def flatten_scene(scene: Scene, lane_pad: int = 128) -> FlatScene:
     np_pad = max(lane_pad, -(-max(ns, 1) // lane_pad) * lane_pad)
     stab = np.zeros((SPH_FIELDS, np_pad), np.float32)
     stab[S_R, :] = 0.0  # padded rows never hit
+
+    atlas_bases = None
+    if scene.flags.has_image and not scene.flags.image_bilinear:
+        _, atlas_bases, atlas_ok = atlas_table(scene)
+        if not atlas_ok:
+            atlas_bases = None
+
     if ns:
         stab[S_CX:S_CZ + 1, :ns] = center[idx].T
         stab[S_VX:S_VZ + 1, :ns] = vel[idx].T
         stab[S_R, :ns] = radius[idx]
-        shade, sup_s = _shading_columns(scene, smat[idx])
+        shade, sup_s = _shading_columns(scene, smat[idx], atlas_bases)
         stab[S_MTYPE:S_A2B + 1, :ns] = shade
     else:
         sup_s = True
@@ -191,7 +266,7 @@ def flatten_scene(scene: Scene, lane_pad: int = 128) -> FlatScene:
         qtab[Q_NX:Q_NZ + 1, :mq] = unit_n.T
         qtab[Q_D, :mq] = (unit_n * qq[qidx]).sum(-1)
         qtab[Q_WX:Q_WZ + 1, :mq] = (n_r / nn_r[:, None]).T
-        shade_q, sup_q = _shading_columns(scene, qmat[qidx])
+        shade_q, sup_q = _shading_columns(scene, qmat[qidx], atlas_bases)
         qtab[Q_MTYPE:Q_A2B + 1, :mq] = shade_q
         # padded quads: zero normal → denominator 0 → rejected in kernel
     else:

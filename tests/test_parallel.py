@@ -72,6 +72,35 @@ class TestShardInvariance:
 
 
 class TestShardedGradients:
+    def test_overlapped_grad_psum_identical(self, small_scene):
+        """Per-bounce grad all-reduce (integrator.make_overlapped_bounce,
+        the BASELINE overlap-comm-with-backward design rule) must produce
+        exactly the grads of the plain single-boundary-psum backward."""
+        scene, cfg = small_scene
+        mesh = make_mesh((2, 2), ("dp", "sp"))
+        cam = CameraParams.from_config(cfg)
+
+        def grad_of(grad_psum_axes):
+            fn, scene_prep, n_pix_pad = build_sharded_renderer(
+                scene, cfg, mesh, grad_psum_axes=grad_psum_axes
+            )
+            pix = jnp.arange(n_pix_pad, dtype=jnp.int32)
+
+            def loss(rgb):
+                s = scene_prep.replace(
+                    textures=scene_prep.textures.replace(rgb=rgb)
+                )
+                part, _ = fn(s, cam, pix, jnp.uint32(0))
+                return jnp.mean(part[: cfg.n_pixels] / cfg.samples_per_pixel)
+
+            return np.asarray(jax.grad(loss)(scene_prep.textures.rgb))
+
+        g_plain = grad_of(())
+        g_overlap = grad_of(("dp", "sp"))
+        assert np.abs(g_plain).max() > 0
+        # identical up to the 1/N rescale's f32 rounding (ops reordered)
+        np.testing.assert_allclose(g_overlap, g_plain, rtol=1e-5, atol=1e-6)
+
     def test_grad_through_sharded_render(self, small_scene):
         scene, cfg = small_scene
         mesh = make_mesh((2, 2, 2), ("dp", "tp", "sp"))

@@ -22,3 +22,45 @@ def test_cornell_light_transport_canary():
     img = np.asarray(jax.jit(lambda: render_once(scene, cfg, seed=0, remat=False))())
     lit = (img.max(-1) > 0).mean()
     assert 0.25 < lit < 0.6, f"lit-pixel fraction {lit}: TPU precision regression?"
+
+
+@pytest.mark.parametrize("name", [
+    "three_spheres", "cornell_box", "quads", "checkered_spheres",
+    "bouncing_spheres", "perlin_sphere", "earth", "simple_light",
+])
+def test_megakernel_matches_xla_on_hardware(name):
+    """Compiled (Mosaic) megakernel vs the XLA integrator on the real chip,
+    per scene — catches Mosaic-specific miscompiles that interpret-mode CI
+    cannot (the exact bug class catalogued in ops/megakernel.py's
+    docstring). Tolerance-level: the two paths order float ops differently,
+    so rare stochastic-decision flips are expected."""
+    import jax.numpy as jnp
+
+    from raytracing_tpu.models.scenes import build
+    from raytracing_tpu.ops.intersect import closest_hit_brute
+    from raytracing_tpu.ops.megakernel import BLOCK, build_mega_scene, trace_megakernel
+    from raytracing_tpu.render import camera as cam_mod
+    from raytracing_tpu.render.camera import CameraParams
+    from raytracing_tpu.render.integrator import trace
+
+    depth = 6
+    scene, cfg = build(name, image_width=32, samples_per_pixel=1, max_depth=depth)
+    mega = build_mega_scene(scene)
+    assert mega.supported, name
+    params = CameraParams.from_config(cfg)
+    derived = cam_mod.derive(cfg, params)
+    pix = jnp.minimum(jnp.arange(BLOCK, dtype=jnp.int32), cfg.n_pixels - 1)
+    smp = jnp.zeros(BLOCK, jnp.int32)
+    o, d, t = cam_mod.generate_rays(
+        cfg, derived, pix, smp, jnp.uint32(3), motion_blur=scene.flags.has_moving
+    )
+    r_ref, s_ref = jax.jit(lambda: trace(
+        scene, o, d, t, pix, smp, jnp.asarray(cfg.background), depth,
+        jnp.uint32(3), hit_fn=closest_hit_brute,
+    ))()
+    r_mk, s_mk = jax.jit(lambda: trace_megakernel(
+        mega, o, d, t, pix, smp, cfg.background, depth, jnp.uint32(3)
+    ))()
+    diff = np.abs(np.asarray(r_ref) - np.asarray(r_mk))
+    assert diff.mean() < 2e-3, f"{name}: mean diff {diff.mean()}"
+    assert abs(int(s_ref) - int(s_mk)) <= max(4, int(s_ref) // 200), name
