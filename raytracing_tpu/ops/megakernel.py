@@ -106,6 +106,10 @@ class MegaScene(NamedTuple):
 # step costs about as much as testing one 8-primitive chunk outright)
 BVH_MIN_CHUNKS = 16
 
+# node steps per while-loop iteration of the in-kernel walk (amortizes the
+# ~2 µs Mosaic while-iteration floor over a block of unrolled steps)
+WALK_UNROLL = 8
+
 
 def build_mega_scene(scene: Scene) -> MegaScene:
     table, ns_pad, nq, supported = fl.unified_table(scene, chunk=CHUNK)
@@ -499,9 +503,18 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
             def walk_cond(carry):
                 return jnp.max(carry[0]) >= 0.0
 
+            def walk_block(carry):
+                # WALK_UNROLL node steps per while iteration: the ~2 µs
+                # Mosaic while-iteration floor is amortized across a block
+                # of straight-line steps; finished lanes no-op (live mask),
+                # so the only waste is up to WALK_UNROLL-1 trailing steps.
+                for _ in range(WALK_UNROLL):
+                    carry = walk_body(carry)
+                return carry
+
             node0 = jnp.where(act > 0.5, zero, zero - 1.0)
             _, tb, ib = jax.lax.while_loop(
-                walk_cond, walk_body, (node0, zero + BIG, zero - 1.0)
+                walk_cond, walk_block, (node0, zero + BIG, zero - 1.0)
             )
             return tb, ib
 
@@ -962,6 +975,7 @@ def trace_megakernel(
     active0=None,
     use_bvh: bool | None = None,
     unroll: bool | None = None,
+    sort_mode: str = "alive",   # "alive" | "coherent" inter-phase compaction
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -1019,9 +1033,39 @@ def trace_megakernel(
                      rr=rr, rg=rg, rb=rb, tr=tr2, tg=tg2, tb=tb2, act=act2)
         offset += pd
         if pi < len(phase_depths) - 1:
-            # stable sort alive-first; permute every per-ray array
+            # compaction sort between phases; permute every per-ray array
             alive_flat = state["act"].reshape(B)
-            order = jnp.argsort(1.0 - alive_flat, stable=True).astype(jnp.int32)
+            if sort_mode == "coherent":
+                # alive-first, then direction octant, then quantized origin
+                # cell: surviving bounce rays land in lanes next to rays
+                # walking similar BVH subtrees, shrinking the lockstep max
+                # of the per-lane walk (and re-cohering the dense sweep's
+                # chunk locality). Scene extent from the BVH root box.
+                root_mn = mega.bvh_nodes[0:3, 0]
+                root_mx = mega.bvh_nodes[3:6, 0]
+                inv_ext = 15.0 / jnp.maximum(root_mx - root_mn, 1e-6)
+                dxf = state["dx"].reshape(B)
+                dyf = state["dy"].reshape(B)
+                dzf = state["dz"].reshape(B)
+                octant = (
+                    (dxf < 0).astype(jnp.int32)
+                    + 2 * (dyf < 0).astype(jnp.int32)
+                    + 4 * (dzf < 0).astype(jnp.int32)
+                )
+                def cell(v, axis):
+                    q = (v.reshape(B) - root_mn[axis]) * inv_ext[axis]
+                    return jnp.clip(q.astype(jnp.int32), 0, 15)
+                key = (
+                    (1.0 - alive_flat).astype(jnp.int32) * (1 << 30)
+                    + (octant << 12)
+                    + (cell(state["ox"], 0) << 8)
+                    + (cell(state["oy"], 1) << 4)
+                    + cell(state["oz"], 2)
+                )
+                order = jnp.argsort(key, stable=True).astype(jnp.int32)
+            else:
+                # plain stable alive-first compaction
+                order = jnp.argsort(1.0 - alive_flat, stable=True).astype(jnp.int32)
             perm = perm[order]
             for k in list(state.keys()):
                 state[k] = state[k].reshape(B)[order].reshape(rows, TILE)

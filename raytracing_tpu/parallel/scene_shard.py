@@ -96,7 +96,19 @@ def closest_hit_scene_sharded(
 
 def shard_scene_primitives(scene: Scene, ntp: int) -> Scene:
     """Host-side: pad primitive tables so their leading dim divides ``ntp``
-    (the actual sharding is applied by shard_map in_specs)."""
+    (the actual sharding is applied by shard_map in_specs).
+
+    Scaling note: the sharded closest hit is brute-force over each chip's
+    primitive range (``bvh=None`` below) — per-chip cost O(P/ntp) per ray,
+    which is the right trade at reference scene sizes (~500 primitives)
+    where a per-shard BVH's traversal overhead exceeds the sweep. For the
+    "scene too large to replicate" regime this mode exists for (SURVEY.md
+    §5), the upgrade path is sharding BVH *subtrees*: split the host tree
+    at depth log2(ntp), give each chip one subtree (its own skip-link
+    array) and keep the same psum-min winner reduction — the reduction
+    contract here does not change. Not yet implemented; brute-force keeps
+    per-chip cost exact and the collective layer fully exercised.
+    """
     import numpy as np
 
     def pad_rows(arr, mult):
