@@ -50,9 +50,11 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
                 cfg,
                 hit_method=method,
                 mode="while",
-                # ~1.9x faster than 1<<20 launches: the inter-phase
-                # compaction argsort scales superlinearly with batch size
-                max_rays_per_launch=1 << 17,
+                # measured best (round 2, v5e): big enough to amortize the
+                # ~3 ms host/tunnel dispatch per launch, small enough that
+                # the remote compiler stays reliable (2^20 programs
+                # occasionally hang it)
+                max_rays_per_launch=1 << 18,
             )
             # Warm-up + compile happens inside; `seconds` excludes compile.
             res = r.render(scene, seed=seed)

@@ -99,12 +99,24 @@ class MegaScene(NamedTuple):
     atlas_tab: jnp.ndarray | None = None   # (8, T_pad128) packed RGB texels
     has_noise: bool = False                # any TK_NOISE primitive
     has_image: bool = False                # any TK_IMAGE primitive
+    # block-layout kernel tables (ops/megakernel_block.py)
+    sph_sweep: jnp.ndarray | None = None   # (max(ns,1), 8) SMEM scalar sweep
+    quad_sweep: jnp.ndarray | None = None  # (max(nq,1), 16)
+    n_sph: int = 0
+    n_quad: int = 0
+    tabt_rep: jnp.ndarray | None = None    # (F*8, P_pad128) field-replicated
+    resolve_fields: tuple = ()             # unified-table field order in tabt_rep
+    noise_rep: jnp.ndarray | None = None   # (48, 256) replicated Perlin
+    atlas_rep: jnp.ndarray | None = None   # (24, T_pad128) replicated atlas
 
 
 # use the in-kernel BVH walk once the scene has more than this many
-# primitive chunks (below it, the dense pairwise sweep is cheaper: a node
-# step costs about as much as testing one 8-primitive chunk outright)
-BVH_MIN_CHUNKS = 16
+# primitive chunks. The crossover is far out: the block-layout SMEM sweep
+# costs ~0.034 ns/seg per primitive (measured 17 ns/seg at 488 prims,
+# v5e) while the lockstep walk's measured floor is ~80 ns/seg at the
+# final-scene size — the walk only wins once the dense sweep passes it,
+# around ~2.5k primitives.
+BVH_MIN_CHUNKS = 256
 
 # node steps per while-loop iteration of the in-kernel walk (amortizes the
 # ~2 µs Mosaic while-iteration floor over a block of unrolled steps)
@@ -130,8 +142,24 @@ def build_mega_scene(scene: Scene) -> MegaScene:
     perm_np, vec_np = fl.perlin_tables(scene)
     if has_image:
         atlas_np, _, _ = fl.atlas_table(scene)
+        atlas_rep_np, _, _ = fl.atlas_table_rep(scene)
     else:
         atlas_np = np.zeros((8, TILE), np.float32)
+        atlas_rep_np = np.zeros((24, TILE), np.float32)
+
+    # block-layout kernel tables (ops/megakernel_block.py)
+    sph_sw, quad_sw, n_sph_real, n_quad_real, _ = fl.sweep_tables(scene)
+    resolve_fields = (fl.U_G0, fl.U_G1, fl.U_G2, fl.U_G3, fl.U_G4, fl.U_G5,
+                      fl.U_G6, fl.U_MTYPE, fl.U_PARAM, fl.U_AR, fl.U_AG,
+                      fl.U_AB, fl.U_TKIND, fl.U_TSCALE, fl.U_A2R, fl.U_A2G,
+                      fl.U_A2B)
+    if has_image and n_quad_real > 0:
+        resolve_fields = resolve_fields + (
+            fl.U_QX, fl.U_QY, fl.U_QZ, fl.U_UX, fl.U_UY, fl.U_UZ,
+            fl.U_VX, fl.U_VY, fl.U_VZ)
+    tabt_rep_np = fl.resolve_table_rep(np.asarray(table), resolve_fields)
+    noise_rep_np = (fl.noise_tables_rep(scene) if has_noise
+                    else np.zeros((48, 256), np.float32))
     return MegaScene(
         table=jnp.asarray(t),
         table_t=jnp.asarray(tt),
@@ -149,6 +177,14 @@ def build_mega_scene(scene: Scene) -> MegaScene:
         atlas_tab=jnp.asarray(atlas_np),
         has_noise=has_noise,
         has_image=has_image,
+        sph_sweep=jnp.asarray(sph_sw),
+        quad_sweep=jnp.asarray(quad_sw),
+        n_sph=n_sph_real,
+        n_quad=n_quad_real,
+        tabt_rep=jnp.asarray(tabt_rep_np),
+        resolve_fields=resolve_fields,
+        noise_rep=jnp.asarray(noise_rep_np),
+        atlas_rep=jnp.asarray(atlas_rep_np),
     )
 
 
@@ -976,6 +1012,7 @@ def trace_megakernel(
     use_bvh: bool | None = None,
     unroll: bool | None = None,
     sort_mode: str = "alive",   # "alive" | "coherent" inter-phase compaction
+    layout: str | None = None,  # "block" | "group" | None (auto)
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -984,6 +1021,11 @@ def trace_megakernel(
     rays are stably sorted dead-last, so later phases run straggler bounces
     at full lane occupancy and fully-dead groups exit after one loop check.
     Default: one phase (no sort) — best for shallow depths.
+
+    ``layout`` selects the kernel: ``"block"`` = (8,128) ray tiles with the
+    SMEM-scalar sweep (ops/megakernel_block.py — the fast dense path),
+    ``"group"`` = (1,128) ray rows with pairwise chunks / BVH walk
+    (this module). Auto: block unless the BVH walk is selected.
 
     Returns (radiance (B, 3), segments traced ()).
     """
@@ -1014,26 +1056,67 @@ def trace_megakernel(
     perm = order0  # composed permutation original → current layout
     segments = jnp.zeros((), jnp.int32)
     offset = 0
+
+    # kernel selection: the block layout is the fast dense path; the group
+    # layout carries the in-kernel BVH walk (and remains the perf baseline)
+    resolved_bvh = (use_bvh if use_bvh is not None
+                    else (mega.bvh_nodes is not None
+                          and mega.n_prims // CHUNK > BVH_MIN_CHUNKS))
+    if layout is None:
+        layout = "group" if resolved_bvh else "block"
+    assert layout in ("block", "group")
+    if layout == "block":
+        assert not resolved_bvh or use_bvh is None, \
+            "the block-layout kernel has no BVH walk (use layout='group')"
+
     for pi, pd in enumerate(phase_depths):
-        runp = make_megakernel(mega, max_depth=pd, background=background,
-                               interpret=interpret, use_bvh=use_bvh,
-                               unroll=unroll)
         so = jnp.asarray([seed, offset], jnp.uint32)
-        out = runp(mega.table, mega.table_t,
-                   mega.bvh_nodes, mega.sph_leaf, mega.quad_leaf,
-                   mega.perm_tab, mega.vec_tab, mega.atlas_tab,
-                   state["ox"], state["oy"], state["oz"],
-                   state["dx"], state["dy"], state["dz"],
-                   state["tm"], state["pix"], state["smp"],
-                   state["tr"], state["tg"], state["tb"],
-                   state["rr"], state["rg"], state["rb"], state["act"], so)
+        if layout == "block":
+            from .megakernel_block import make_megakernel_block
+
+            last = pi == len(phase_depths) - 1
+            runp = make_megakernel_block(
+                mega, max_depth=pd, background=background,
+                interpret=interpret, unroll=bool(unroll),
+                want_state=not last)
+            out = runp(mega.sph_sweep, mega.quad_sweep, mega.tabt_rep,
+                       mega.noise_rep, mega.atlas_rep,
+                       state["ox"], state["oy"], state["oz"],
+                       state["dx"], state["dy"], state["dz"],
+                       state["tm"], state["pix"], state["smp"],
+                       state["tr"], state["tg"], state["tb"],
+                       state["rr"], state["rg"], state["rb"],
+                       state["act"], so)
+            if last:
+                rr, rg, rb, bc = out
+                segments = segments + jnp.sum(bc)
+                state.update(rr=rr, rg=rg, rb=rb)
+                break
+        else:
+            runp = make_megakernel(mega, max_depth=pd, background=background,
+                                   interpret=interpret, use_bvh=use_bvh,
+                                   unroll=unroll)
+            out = runp(mega.table, mega.table_t,
+                       mega.bvh_nodes, mega.sph_leaf, mega.quad_leaf,
+                       mega.perm_tab, mega.vec_tab, mega.atlas_tab,
+                       state["ox"], state["oy"], state["oz"],
+                       state["dx"], state["dy"], state["dz"],
+                       state["tm"], state["pix"], state["smp"],
+                       state["tr"], state["tg"], state["tb"],
+                       state["rr"], state["rg"], state["rb"], state["act"], so)
         (rr, rg, rb, bc, ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2, act2) = out
         segments = segments + jnp.sum(bc)
         state.update(ox=ox2, oy=oy2, oz=oz2, dx=dx2, dy=dy2, dz=dz2,
                      rr=rr, rg=rg, rb=rb, tr=tr2, tg=tg2, tb=tb2, act=act2)
         offset += pd
         if pi < len(phase_depths) - 1:
-            # compaction sort between phases; permute every per-ray array
+            # Compaction between phases as ONE multi-operand lax.sort:
+            # key + every per-ray state array + the composed permutation
+            # move together through a single fused sort. (The obvious
+            # argsort + per-array gather formulation compiles to ~14
+            # element-serial gather fusions at ~1.1 ms each on v5e inside
+            # this module — 16+ ms per boundary, 3x the phased kernels
+            # themselves; the fused sort runs in ~0.2 ms.)
             alive_flat = state["act"].reshape(B)
             if sort_mode == "coherent":
                 # alive-first, then direction octant, then quantized origin
@@ -1062,20 +1145,26 @@ def trace_megakernel(
                     + (cell(state["oy"], 1) << 4)
                     + cell(state["oz"], 2)
                 )
-                order = jnp.argsort(key, stable=True).astype(jnp.int32)
             else:
                 # plain stable alive-first compaction
-                order = jnp.argsort(1.0 - alive_flat, stable=True).astype(jnp.int32)
-            perm = perm[order]
-            for k in list(state.keys()):
-                state[k] = state[k].reshape(B)[order].reshape(rows, TILE)
+                key = 1.0 - alive_flat
+            names = list(state.keys())
+            ops = [key] + [state[k].reshape(B) for k in names] + [perm]
+            sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+            for k, v in zip(names, sorted_ops[1:1 + len(names)]):
+                state[k] = v.reshape(rows, TILE)
+            perm = sorted_ops[-1]
 
-    # undo the composed permutation on the accumulated radiance
-    rr = state["rr"].reshape(B)
-    rg = state["rg"].reshape(B)
-    rb = state["rb"].reshape(B)
+    # undo the composed permutation: one more fused sort keyed on the
+    # original ray index restores camera order
+    if len(phase_depths) > 1:
+        _, rr, rg, rb = jax.lax.sort(
+            [perm, state["rr"].reshape(B), state["rg"].reshape(B),
+             state["rb"].reshape(B)], num_keys=1, is_stable=False)
+    else:
+        rr = state["rr"].reshape(B)
+        rg = state["rg"].reshape(B)
+        rb = state["rb"].reshape(B)
     radiance = jnp.stack([rr, rg, rb], axis=-1)
-    inv = jnp.argsort(perm).astype(jnp.int32)
-    radiance = radiance[inv]
     return radiance, segments
 

@@ -1,0 +1,708 @@
+"""Block-layout Pallas megakernel (v4): 1024 rays per grid step as one
+native (8, 128) tile, primitives streamed as SMEM scalars.
+
+This is the default TPU fast path for dense (non-BVH) scenes. It differs
+from the group-layout kernel (ops/megakernel.py) in one structural idea:
+**rays fill the whole vreg**. The group kernel keeps rays in (1, 128)
+rows — 8 row groups per block — so every op outside its pairwise chunk
+blocks wastes 7/8 of the vector unit and the whole bounce pipeline runs
+8x per block. Here every stage (sweep, resolve, textures, shade, RNG)
+operates on (8, 128) = 1024 rays at once:
+
+* **Sweep**: a ``fori_loop`` over primitives; each step reads one
+  primitive's fields from SMEM on the scalar core (which runs ahead of
+  the vector core in Mosaic's software pipeline) and issues ~30
+  vector-scalar ops against the full ray tile. Measured (v5e, 488
+  spheres): 17.0 ns/segment vs 23.0 for the pairwise-chunk sweep — at
+  ~1 op/cycle this is the VPU issue limit for brute force — and it
+  compiles in ~2 s vs ~130 s (no unrolled chunk bodies), which matters
+  on the remote-compiler setup (see CLAUDE.md).
+* **Resolve**: winner attributes come from ``take_along_axis`` gathers
+  over *field-replicated* tables (scene/flatten.py resolve_table_rep):
+  for each field, 8 identical sublane rows let one gather serve all
+  1024 per-ray indices.
+* **Textures**: same replication trick for the Perlin permutation/
+  gradient tables (noise_tables_rep) and the image atlas channels
+  (atlas_table_rep); the texture math itself is a direct port of the
+  group kernel's (texture.hpp:91-156, perlin.hpp:94-254 semantics).
+* **Bounce loop**: ``while_loop`` with a block-level all-dead early
+  exit by default (the ~2 µs Mosaic while-iteration floor is ~15% of
+  the ~13 µs body at final-scene size); static unroll available.
+
+Bit-parity: the arithmetic is op-for-op the group kernel's (same f32
+sequence per primitive — r² is precomputed in f32 so ``oc·oc − r²``
+matches ``... − r·r``), and the range-check refactor is outcome-
+equivalent: ``root = root0 if root0 > tmin else root1`` with the
+``< t_best`` test folded into the strict min-update selects exactly the
+reference's nearest-root-in-(tmin, closest) choice
+(sphere.hpp hit semantics; see tests/test_megakernel.py equality suite).
+
+Mosaic portability rules are listed in ops/megakernel.py's docstring —
+read them before editing. One addition learned here: per-primitive
+*scalar* SMEM reads are cheap (they pipeline on the scalar core); the
+round-1 warning about SMEM stalls applied to per-*lane* scalar loads.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene import flatten as fl
+
+TILE = 128
+GROUPS = 8
+BLOCK = TILE * GROUPS
+
+BIG = 3.0e38
+T_MIN = 1e-3
+
+MT_METAL = 1.0
+MT_DIELECTRIC = 2.0
+MT_LIGHT = 3.0
+
+# fori_loop unroll for the primitive sweeps: enough independent per-prim
+# dependency chains in flight to cover VPU ALU latency
+SWEEP_UNROLL = 4
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _pcg4d(a, b, c, d):
+    mul = jnp.uint32(1664525)
+    add = jnp.uint32(1013904223)
+    v0 = a * mul + add
+    v1 = b * mul + add
+    v2 = c * mul + add
+    v3 = d * mul + add
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    v0 = v0 ^ (v0 >> 16)
+    v1 = v1 ^ (v1 >> 16)
+    v2 = v2 ^ (v2 >> 16)
+    v3 = v3 ^ (v3 >> 16)
+    v0 = v0 + v1 * v3
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v3 = v3 + v1 * v2
+    return v0, v1, v2, v3
+
+
+def _u01(x):
+    return (x >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )
+
+
+def make_megakernel_block(mega, *, max_depth: int, background,
+                          tmin: float = T_MIN, interpret: bool = False,
+                          unroll: bool = False, ablate: tuple = (),
+                          want_state: bool = True):
+    """Build the block-layout megakernel for one phase.
+
+    Returns ``run(sph_sweep, quad_sweep, tabt_rep, noise_rep, atlas_rep,
+    ox..dz, tm, pix, smp, thr_r..act, seed_and_offset) -> 14 outputs`` —
+    the same output tuple as the group kernel's ``run`` so
+    ``trace_megakernel`` can drive either interchangeably. With
+    ``want_state=False`` only the first 4 (rad_r, rad_g, rad_b, bounces)
+    are produced — use for the final (or only) phase.
+    """
+    n_sph = mega.n_sph
+    n_quad = mega.n_quad
+    n_sph_rows = mega.sph_sweep.shape[0]
+    n_quad_rows = mega.quad_sweep.shape[0]
+    ns_pad = mega.n_sph_pad
+    fields = mega.resolve_fields
+    fslot = {f: i for i, f in enumerate(fields)}
+    p_lanes = mega.tabt_rep.shape[1]
+    n_lane_chunks = p_lanes // TILE
+    has_noise = mega.has_noise
+    has_image = mega.has_image
+    atlas_lanes = mega.atlas_rep.shape[1]
+    bg_r, bg_g, bg_b = (float(background[0]), float(background[1]),
+                        float(background[2]))
+    U = fl
+
+    def make_kernel(n_sub, want_state):
+        """``n_sub`` (8,128) ray sub-blocks are processed per grid step —
+        per-step fixed costs (input/output DMA issue for ~30 buffers +
+        pipeline machinery, measured ~21 µs against a ~6 µs final-scene
+        sweep) amortize across sub-blocks while the bounce while_loop's
+        all-dead early exit keeps its 1024-ray granularity. ``want_state``
+        False (single-phase traces) drops the 10 carried-state outputs
+        and their store DMAs entirely."""
+
+        def kernel(*refs):
+            (sph_ref, quad_ref, tabt_ref, noise_ref, atlas_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+             pix_ref, smp_ref,
+             tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref, act_ref,
+             seed_ref) = refs[:22]
+            outs = refs[22:-1]
+            zref = refs[-1]
+            rr_ref, rg_ref, rb_ref, bc_ref = outs[0:4]
+
+            seed = seed_ref[0]
+            b_off = seed_ref[1]
+
+            zref[:] = jnp.zeros((GROUPS, TILE), jnp.float32)
+            zero = zref[:]
+
+            for s in range(n_sub):
+                _trace_sub(
+                    s, zero, seed, b_off,
+                    sph_ref, quad_ref, tabt_ref, noise_ref, atlas_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    tm_ref, pix_ref, smp_ref,
+                    tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
+                    act_ref, rr_ref, rg_ref, rb_ref, bc_ref,
+                    outs[4:] if want_state else None)
+
+        return kernel
+
+    def _trace_sub(s, zero, seed, b_off,
+                   sph_ref, quad_ref, tabt_ref, noise_ref, atlas_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   tm_ref, pix_ref, smp_ref,
+                   tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
+                   act_ref, rr_ref, rg_ref, rb_ref, bc_ref, state_refs):
+        sl = slice(s * GROUPS, (s + 1) * GROUPS)
+        ox0 = ox_ref[sl, :]
+        oy0 = oy_ref[sl, :]
+        oz0 = oz_ref[sl, :]
+        dx0 = dx_ref[sl, :]
+        dy0 = dy_ref[sl, :]
+        dz0 = dz_ref[sl, :]
+        tmv = tm_ref[sl, :]
+        pix = pix_ref[sl, :].astype(jnp.uint32)
+        smp = smp_ref[sl, :].astype(jnp.uint32)
+        seed_t = jnp.full((GROUPS, TILE), jnp.uint32(0)) + seed
+
+        def intersect(ox, oy, oz, dx, dy, dz):
+            """Closest hit over every primitive: SMEM-scalar fori sweeps.
+            Returns (t (8,128), idx (8,128) f32; idx<0 = miss). Winner
+            semantics match the pairwise kernel exactly: nearest root in
+            (tmin, t_best), lowest index winning ties via strict <."""
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+
+            def sph_body(j, carry):
+                tb, ib = carry
+                cx = sph_ref[j, 0] + tmv * sph_ref[j, 3]
+                cy = sph_ref[j, 1] + tmv * sph_ref[j, 4]
+                cz = sph_ref[j, 2] + tmv * sph_ref[j, 5]
+                rsq = sph_ref[j, 6]
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rsq
+                disc = half_b * half_b - a * cq
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                root0 = (-half_b - sq) * inv_a
+                root1 = (-half_b + sq) * inv_a
+                root = jnp.where(root0 > tmin, root0, root1)
+                imp = (disc >= 0.0) & (root > tmin) & (root < tb)
+                tb = jnp.where(imp, root, tb)
+                ib = jnp.where(imp, zero + j.astype(jnp.float32), ib)
+                return tb, ib
+
+            def quad_body(j, carry):
+                tb, ib = carry
+                nx = quad_ref[j, 0]
+                ny = quad_ref[j, 1]
+                nz = quad_ref[j, 2]
+                denom = nx * dx + ny * dy + nz * dz
+                safe = jnp.where(jnp.abs(denom) < 1e-8, 1.0, denom)
+                tq = (quad_ref[j, 3] - (nx * ox + ny * oy + nz * oz)) / safe
+                px = ox + tq * dx - quad_ref[j, 4]
+                py = oy + tq * dy - quad_ref[j, 5]
+                pz = oz + tq * dz - quad_ref[j, 6]
+                wx = quad_ref[j, 7]
+                wy = quad_ref[j, 8]
+                wz = quad_ref[j, 9]
+                ux = quad_ref[j, 10]
+                uy = quad_ref[j, 11]
+                uz = quad_ref[j, 12]
+                vx = quad_ref[j, 13]
+                vy = quad_ref[j, 14]
+                vz = quad_ref[j, 15]
+                alpha = (wx * (py * vz - pz * vy) + wy * (pz * vx - px * vz)
+                         + wz * (px * vy - py * vx))
+                beta = (wx * (uy * pz - uz * py) + wy * (uz * px - ux * pz)
+                        + wz * (ux * py - uy * px))
+                imp = (
+                    (jnp.abs(denom) >= 1e-8)
+                    & (tq > tmin) & (tq < tb)
+                    & (alpha >= 0.0) & (alpha <= 1.0)
+                    & (beta >= 0.0) & (beta <= 1.0)
+                )
+                tb = jnp.where(imp, tq, tb)
+                ib = jnp.where(
+                    imp, zero + (j + ns_pad).astype(jnp.float32), ib
+                )
+                return tb, ib
+
+            # manual unroll (Mosaic's fori only lowers unroll=1/full):
+            # tables are row-padded to a multiple of 8 with never-hit
+            # primitives (flatten.sweep_tables), so the blocked loop is
+            # exact and each iteration carries SWEEP_UNROLL independent
+            # dependency chains to cover ALU latency
+            def sph_block(k, carry):
+                for u in range(SWEEP_UNROLL):
+                    carry = sph_body(k * SWEEP_UNROLL + u, carry)
+                return carry
+
+            def quad_block(k, carry):
+                for u in range(SWEEP_UNROLL):
+                    carry = quad_body(k * SWEEP_UNROLL + u, carry)
+                return carry
+
+            carry = (zero + BIG, zero - 1.0)
+            if n_sph > 0:
+                carry = jax.lax.fori_loop(
+                    0, n_sph_rows // SWEEP_UNROLL, sph_block, carry)
+            if n_quad > 0:
+                carry = jax.lax.fori_loop(
+                    0, n_quad_rows // SWEEP_UNROLL, quad_block, carry)
+            return carry
+
+        def resolve(ib):
+            """Winner-attribute fetch: one per-ray lane gather per field
+            per 128-lane table chunk from the field-replicated table.
+            Misses (ib < 0) read primitive 0 — masked out downstream."""
+            ibi = ib.astype(jnp.int32)
+            vals = [None] * len(fields)
+            for c in range(n_lane_chunks):
+                local = jnp.clip(ibi - c * TILE, 0, TILE - 1)
+                if n_lane_chunks > 1:
+                    use = (ibi >= c * TILE) & (ibi < (c + 1) * TILE)
+                for fi in range(len(fields)):
+                    rows = tabt_ref[fi * GROUPS:(fi + 1) * GROUPS,
+                                    c * TILE:(c + 1) * TILE]
+                    g = jnp.take_along_axis(rows, local, axis=1)
+                    if vals[fi] is None:
+                        vals[fi] = g
+                    else:
+                        vals[fi] = jnp.where(use, g, vals[fi])
+            return vals
+
+        def gather256(row0, idx):
+            """(8,128) per-ray gather from a row-replicated (8, 256) block
+            of noise_ref (rows [row0, row0+8)); idx int in [0, 256)."""
+            g0 = jnp.take_along_axis(
+                noise_ref[row0:row0 + GROUPS, 0:TILE],
+                jnp.clip(idx, 0, TILE - 1), axis=1)
+            g1 = jnp.take_along_axis(
+                noise_ref[row0:row0 + GROUPS, TILE:2 * TILE],
+                jnp.clip(idx - TILE, 0, TILE - 1), axis=1)
+            return jnp.where(idx >= TILE, g1, g0)
+
+        def gather_atlas(row0, idx):
+            out = None
+            for c in range(atlas_lanes // TILE):
+                local = jnp.clip(idx - c * TILE, 0, TILE - 1)
+                g = jnp.take_along_axis(
+                    atlas_ref[row0:row0 + GROUPS, c * TILE:(c + 1) * TILE],
+                    local, axis=1)
+                if out is None:
+                    out = g
+                else:
+                    use = (idx >= c * TILE) & (idx < (c + 1) * TILE)
+                    out = jnp.where(use, g, out)
+            return out
+
+        def bounce_body(carry):
+            (b, ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+             rad_r, rad_g, rad_b, active_f, bounces) = carry
+            active = active_f > 0.5
+
+            if "sweep" in ablate:
+                t, ib = zero + 0.5, zero + 1.0
+            else:
+                t, ib = intersect(ox, oy, oz, dx, dy, dz)
+            if "resolve" in ablate:
+                attrs = [zero + 0.5] * len(fields)
+            else:
+                attrs = resolve(ib)
+
+            def at(f):
+                return attrs[fslot[f]]
+
+            hit = t < BIG
+            miss = active & ~hit
+            rad_r = rad_r + jnp.where(miss, thr_r * bg_r, 0.0)
+            rad_g = rad_g + jnp.where(miss, thr_g * bg_g, 0.0)
+            rad_b = rad_b + jnp.where(miss, thr_b * bg_b, 0.0)
+
+            px = ox + t * dx
+            py = oy + t * dy
+            pz = oz + t * dz
+
+            is_quad = ib >= float(ns_pad)
+            cxt = at(U.U_G0) + tmv * at(U.U_G3)
+            cyt = at(U.U_G1) + tmv * at(U.U_G4)
+            czt = at(U.U_G2) + tmv * at(U.U_G5)
+            r_att = at(U.U_G6)
+            inv_r = 1.0 / jnp.where(r_att != 0.0, r_att, 1.0)
+            own_x = jnp.where(is_quad, at(U.U_G0), (px - cxt) * inv_r)
+            own_y = jnp.where(is_quad, at(U.U_G1), (py - cyt) * inv_r)
+            own_z = jnp.where(is_quad, at(U.U_G2), (pz - czt) * inv_r)
+            d_dot_n = _dot3(dx, dy, dz, own_x, own_y, own_z)
+            front = d_dot_n < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx = own_x * sgn
+            ny = own_y * sgn
+            nz = own_z * sgn
+
+            mt = at(U.U_MTYPE)
+            prm = at(U.U_PARAM)
+            ar = at(U.U_AR)
+            ag = at(U.U_AG)
+            ab = at(U.U_AB)
+            ts = at(U.U_TSCALE)
+            cells = (
+                jnp.floor(ts * px).astype(jnp.int32)
+                + jnp.floor(ts * py).astype(jnp.int32)
+                + jnp.floor(ts * pz).astype(jnp.int32)
+            )
+            use2 = (at(U.U_TKIND) == fl.TK_CHECKER) & ((cells % 2) != 0)
+            ar = jnp.where(use2, at(U.U_A2R), ar)
+            ag = jnp.where(use2, at(U.U_A2G), ag)
+            ab = jnp.where(use2, at(U.U_A2B), ab)
+
+            if has_noise:
+                # marble noise (texture.hpp:150 via perlin.hpp:94-254),
+                # same op order as scene/perlin.py for parity
+                accum_t = zero
+                weight = 1.0
+                tpx, tpy, tpz = px, py, pz
+                for _oct in range(7):
+                    pfx = jnp.floor(tpx)
+                    pfy = jnp.floor(tpy)
+                    pfz = jnp.floor(tpz)
+                    uu = tpx - pfx
+                    vv = tpy - pfy
+                    ww = tpz - pfz
+                    ixx = pfx.astype(jnp.int32)
+                    iyy = pfy.astype(jnp.int32)
+                    izz = pfz.astype(jnp.int32)
+                    hx_h = uu * uu * (3.0 - 2.0 * uu)
+                    hy_h = vv * vv * (3.0 - 2.0 * vv)
+                    hz_h = ww * ww * (3.0 - 2.0 * ww)
+                    acc = zero
+                    for di in (0, 1):
+                        for dj in (0, 1):
+                            for dk in (0, 1):
+                                hx = gather256(0, (ixx + di) & 255)
+                                hy = gather256(8, (iyy + dj) & 255)
+                                hz = gather256(16, (izz + dk) & 255)
+                                hashv = (
+                                    hx.astype(jnp.int32)
+                                    ^ hy.astype(jnp.int32)
+                                    ^ hz.astype(jnp.int32)
+                                )
+                                gx = gather256(24, hashv)
+                                gy = gather256(32, hashv)
+                                gz = gather256(40, hashv)
+                                offx = uu - float(di)
+                                offy = vv - float(dj)
+                                offz = ww - float(dk)
+                                wx = hx_h if di else 1.0 - hx_h
+                                wy = hy_h if dj else 1.0 - hy_h
+                                wz = hz_h if dk else 1.0 - hz_h
+                                dotg = gx * offx + gy * offy + gz * offz
+                                acc = acc + wx * wy * wz * dotg
+                    accum_t = accum_t + weight * acc
+                    weight *= 0.5
+                    tpx = tpx * 2.0
+                    tpy = tpy * 2.0
+                    tpz = tpz * 2.0
+                turb = jnp.abs(accum_t)
+                marble = 0.5 * (1.0 + jnp.sin(ts * pz + 10.0 * turb))
+                use_n = at(U.U_TKIND) == fl.TK_NOISE
+                ar = jnp.where(use_n, marble, ar)
+                ag = jnp.where(use_n, marble, ag)
+                ab = jnp.where(use_n, marble, ab)
+
+            if has_image:
+                # nearest-texel image lookup (texture.hpp:91-122); sphere
+                # UV from the outward normal (sphere.hpp:100-111), quad
+                # UV = (alpha, beta) (quad.hpp:97-114)
+                rxz = jnp.sqrt(
+                    jnp.maximum(own_x * own_x + own_z * own_z, 0.0)
+                )
+                theta = jnp.arctan2(rxz, -own_y)
+                x_safe = jnp.where(rxz > 0.0, own_x, 1.0)
+                phi = jnp.arctan2(-own_z, x_safe) + jnp.pi
+                u_tex = phi * (1.0 / (2.0 * jnp.pi))
+                v_tex = theta * (1.0 / jnp.pi)
+                if n_quad > 0:
+                    pqx = px - at(U.U_QX)
+                    pqy = py - at(U.U_QY)
+                    pqz = pz - at(U.U_QZ)
+                    uxq = at(U.U_UX)
+                    uyq = at(U.U_UY)
+                    uzq = at(U.U_UZ)
+                    vxq = at(U.U_VX)
+                    vyq = at(U.U_VY)
+                    vzq = at(U.U_VZ)
+                    wxq = at(U.U_G4)
+                    wyq = at(U.U_G5)
+                    wzq = at(U.U_G6)
+                    alpha_q = (wxq * (pqy * vzq - pqz * vyq)
+                               + wyq * (pqz * vxq - pqx * vzq)
+                               + wzq * (pqx * vyq - pqy * vxq))
+                    beta_q = (wxq * (uyq * pqz - uzq * pqy)
+                              + wyq * (uzq * pqx - uxq * pqz)
+                              + wzq * (uxq * pqy - uyq * pqx))
+                    u_tex = jnp.where(is_quad, alpha_q, u_tex)
+                    v_tex = jnp.where(is_quad, beta_q, v_tex)
+                base_i = at(U.U_A2R).astype(jnp.int32)
+                w_img = at(U.U_A2G)
+                h_img = at(U.U_A2B)
+                uu_c = jnp.clip(u_tex, 0.0, 1.0)
+                vv_c = 1.0 - jnp.clip(v_tex, 0.0, 1.0)
+                w_i = w_img.astype(jnp.int32)
+                h_i = h_img.astype(jnp.int32)
+                ti = jnp.clip((uu_c * w_img).astype(jnp.int32), 0,
+                              jnp.maximum(w_i - 1, 0))
+                tj = jnp.clip((vv_c * h_img).astype(jnp.int32), 0,
+                              jnp.maximum(h_i - 1, 0))
+                flat = base_i + tj * w_i + ti
+                tex_r = gather_atlas(0, flat)
+                tex_g = gather_atlas(8, flat)
+                tex_b = gather_atlas(16, flat)
+                use_i = at(U.U_TKIND) == fl.TK_IMAGE
+                ar = jnp.where(use_i, tex_r, ar)
+                ag = jnp.where(use_i, tex_g, ag)
+                ab = jnp.where(use_i, tex_b, ab)
+
+            # RNG for this bounce (core/rng.py stream layout)
+            if "rng" in ablate:
+                u0 = zero + 0.25
+                u1 = zero + 0.5
+                u2 = zero + 0.75
+            else:
+                ctr = jnp.full(ox.shape, jnp.uint32(0)) + (
+                    (b.astype(jnp.uint32) + b_off) * jnp.uint32(4)
+                    + jnp.uint32(2)
+                )
+                v0, v1, v2, _ = _pcg4d(pix, smp, ctr, seed_t)
+                u0 = _u01(v0)
+                u1 = _u01(v1)
+                u2 = _u01(v2)
+
+            if "shade" in ablate:
+                is_metal = mt == MT_METAL
+                is_diel = mt == MT_DIELECTRIC
+                is_light = mt == MT_LIGHT
+                metal_ok = u0 > -1.0
+                ndx, ndy, ndz = dx, dy, dz
+                att_r, att_g, att_b = ar, ag, ab
+                hit_mask = active & hit
+                emit = hit_mask & is_light
+                rad_r = rad_r + jnp.where(emit, thr_r * ar, 0.0)
+                rad_g = rad_g + jnp.where(emit, thr_g * ag, 0.0)
+                rad_b = rad_b + jnp.where(emit, thr_b * ab, 0.0)
+                did_scatter = ((is_metal & metal_ok)
+                               | (~is_metal & ~is_light))
+                live = hit_mask & did_scatter
+                thr_r = jnp.where(live, thr_r * att_r, thr_r)
+                thr_g = jnp.where(live, thr_g * att_g, thr_g)
+                thr_b = jnp.where(live, thr_b * att_b, thr_b)
+                ox = jnp.where(live, px, ox)
+                oy = jnp.where(live, py, oy)
+                oz = jnp.where(live, pz, oz)
+                dx = jnp.where(live, ndx, dx)
+                dy = jnp.where(live, ndy, dy)
+                dz = jnp.where(live, ndz, dz)
+                bounces = bounces + jnp.where(active, 1.0, 0.0)
+                return (b + 1, ox, oy, oz, dx, dy, dz,
+                        thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+                        jnp.where(live, 1.0, 0.0), bounces)
+
+            zdir = 1.0 - 2.0 * u0
+            rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - zdir * zdir))
+            phi_s = (2.0 * jnp.pi) * u1
+            rux = rho * jnp.cos(phi_s)
+            ruy = rho * jnp.sin(phi_s)
+            ruz = zdir
+
+            # lambertian (material.hpp:54-60)
+            ldx = nx + rux
+            ldy = ny + ruy
+            ldz = nz + ruz
+            degen = ((jnp.abs(ldx) < 1e-8) & (jnp.abs(ldy) < 1e-8)
+                     & (jnp.abs(ldz) < 1e-8))
+            ldx = jnp.where(degen, nx, ldx)
+            ldy = jnp.where(degen, ny, ldy)
+            ldz = jnp.where(degen, nz, ldz)
+
+            # metal (material.hpp:89-105)
+            d_dot_on = _dot3(dx, dy, dz, nx, ny, nz)
+            rdx = dx - 2.0 * d_dot_on * nx
+            rdy = dy - 2.0 * d_dot_on * ny
+            rdz = dz - 2.0 * d_dot_on * nz
+            rlen = jax.lax.rsqrt(_dot3(rdx, rdy, rdz, rdx, rdy, rdz) + 1e-30)
+            mdx = rdx * rlen + prm * rux
+            mdy = rdy * rlen + prm * ruy
+            mdz = rdz * rlen + prm * ruz
+            metal_ok = _dot3(mdx, mdy, mdz, nx, ny, nz) > 0.0
+
+            # dielectric (material.hpp:128-174)
+            dinv = jax.lax.rsqrt(_dot3(dx, dy, dz, dx, dy, dz) + 1e-30)
+            udx = dx * dinv
+            udy = dy * dinv
+            udz = dz * dinv
+            ri = jnp.where(front, 1.0 / prm, prm)
+            cos_t = jnp.minimum(-_dot3(udx, udy, udz, nx, ny, nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cannot = ri * sin_t > 1.0
+            r0 = (1.0 - ri) / (1.0 + ri)
+            r0 = r0 * r0
+            reflectance = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+            use_reflect = cannot | (reflectance > u2)
+            rpx = ri * (udx + cos_t * nx)
+            rpy = ri * (udy + cos_t * ny)
+            rpz = ri * (udz + cos_t * nz)
+            k2 = jnp.abs(1.0 - _dot3(rpx, rpy, rpz, rpx, rpy, rpz))
+            par = -jnp.sqrt(k2)
+            fdx = rpx + par * nx
+            fdy = rpy + par * ny
+            fdz = rpz + par * nz
+            u_dot_n = _dot3(udx, udy, udz, nx, ny, nz)
+            xdx = udx - 2.0 * u_dot_n * nx
+            xdy = udy - 2.0 * u_dot_n * ny
+            xdz = udz - 2.0 * u_dot_n * nz
+            gdx = jnp.where(use_reflect, xdx, fdx)
+            gdy = jnp.where(use_reflect, xdy, fdy)
+            gdz = jnp.where(use_reflect, xdz, fdz)
+
+            is_metal = mt == MT_METAL
+            is_diel = mt == MT_DIELECTRIC
+            is_light = mt == MT_LIGHT
+            ndx = jnp.where(is_metal, mdx, ldx)
+            ndy = jnp.where(is_metal, mdy, ldy)
+            ndz = jnp.where(is_metal, mdz, ldz)
+            ndx = jnp.where(is_diel, gdx, ndx)
+            ndy = jnp.where(is_diel, gdy, ndy)
+            ndz = jnp.where(is_diel, gdz, ndz)
+
+            att_r = jnp.where(is_diel, 1.0, ar)
+            att_g = jnp.where(is_diel, 1.0, ag)
+            att_b = jnp.where(is_diel, 1.0, ab)
+
+            hit_mask = active & hit
+            emit = hit_mask & is_light
+            rad_r = rad_r + jnp.where(emit, thr_r * ar, 0.0)
+            rad_g = rad_g + jnp.where(emit, thr_g * ag, 0.0)
+            rad_b = rad_b + jnp.where(emit, thr_b * ab, 0.0)
+
+            did_scatter = (is_metal & metal_ok) | (~is_metal & ~is_light)
+            live = hit_mask & did_scatter
+            thr_r = jnp.where(live, thr_r * att_r, thr_r)
+            thr_g = jnp.where(live, thr_g * att_g, thr_g)
+            thr_b = jnp.where(live, thr_b * att_b, thr_b)
+            ox = jnp.where(live, px, ox)
+            oy = jnp.where(live, py, oy)
+            oz = jnp.where(live, pz, oz)
+            dx = jnp.where(live, ndx, dx)
+            dy = jnp.where(live, ndy, dy)
+            dz = jnp.where(live, ndz, dz)
+
+            bounces = bounces + jnp.where(active, 1.0, 0.0)
+            return (b + 1, ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
+                    rad_r, rad_g, rad_b, jnp.where(live, 1.0, 0.0), bounces)
+
+        def cond(carry):
+            b = carry[0]
+            active_f = carry[13]
+            return (b < max_depth) & (jnp.max(active_f) > 0.5)
+
+        init = (jnp.int32(0), ox0, oy0, oz0, dx0, dy0, dz0,
+                tr_ref[sl, :] + zero, tg_ref[sl, :] + zero,
+                tb2_ref[sl, :] + zero,
+                ra_ref[sl, :] + zero, ga_ref[sl, :] + zero,
+                ba_ref[sl, :] + zero,
+                act_ref[sl, :] + zero, zero)
+        if unroll:
+            out = init
+            for _ in range(max_depth):
+                out = bounce_body(out)
+        else:
+            out = jax.lax.while_loop(cond, bounce_body, init)
+
+        (_, f_ox, f_oy, f_oz, f_dx, f_dy, f_dz,
+         f_tr, f_tg, f_tb, f_rr, f_rg, f_rb, f_act, f_bc) = out
+        rr_ref[sl, :] = f_rr
+        rg_ref[sl, :] = f_rg
+        rb_ref[sl, :] = f_rb
+        bc_ref[sl, :] = f_bc.astype(jnp.int32)
+        if state_refs is not None:
+            (oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+             otr_ref, otg_ref, otb_ref, oact_ref) = state_refs
+            oox_ref[sl, :] = f_ox
+            ooy_ref[sl, :] = f_oy
+            ooz_ref[sl, :] = f_oz
+            odx_ref[sl, :] = f_dx
+            ody_ref[sl, :] = f_dy
+            odz_ref[sl, :] = f_dz
+            otr_ref[sl, :] = f_tr
+            otg_ref[sl, :] = f_tg
+            otb_ref[sl, :] = f_tb
+            oact_ref[sl, :] = f_act
+
+    def run(sph_sweep, quad_sweep, tabt_rep, noise_rep, atlas_rep,
+            ox, oy, oz, dx, dy, dz, tmv, pix, smp,
+            thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act,
+            seed_and_offset):
+        n_rows = ox.shape[0]
+        assert n_rows % GROUPS == 0
+        n_sub = 1
+        for cand in (8, 4, 2):
+            if (n_rows // GROUPS) % cand == 0:
+                n_sub = cand
+                break
+        step_rows = GROUPS * n_sub
+        grid = (n_rows // step_rows,)
+        ray_spec = pl.BlockSpec((step_rows, TILE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        f32 = jnp.float32
+        n_out = 14 if want_state else 4
+        out_shape = (
+            [jax.ShapeDtypeStruct((n_rows, TILE), f32)] * 3
+            + [jax.ShapeDtypeStruct((n_rows, TILE), jnp.int32)]
+            + [jax.ShapeDtypeStruct((n_rows, TILE), f32)] * (n_out - 4)
+        )
+
+        def whole(arr):
+            return pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            make_kernel(n_sub, want_state),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                whole(tabt_rep), whole(noise_rep), whole(atlas_rep),
+            ] + [ray_spec] * 16 + [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[ray_spec] * n_out,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((GROUPS, TILE), jnp.float32),
+            ],
+            interpret=interpret,
+        )(sph_sweep, quad_sweep, tabt_rep, noise_rep, atlas_rep,
+          ox, oy, oz, dx, dy, dz, tmv, pix, smp,
+          thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act, seed_and_offset)
+
+    return run
