@@ -71,47 +71,95 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
 def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     """Forward+backward throughput on the BASELINE final-scene workload
     (400×225 @ 100 spp, depth 20): grad of per-chunk MSE w.r.t. scene
-    params (sphere centers + albedos), sample-chunked so each XLA program
-    stays under the remote compiler's hang threshold.
+    params (sphere centers + albedos), sample-chunked.
+
+    Uses the decision-replay fast path (diff/replay.py): each chunk runs
+    the Pallas megakernel decision pass (``want_ids``) and then
+    ``jax.value_and_grad`` through the O(B·depth) replay — the closest-hit
+    search is never differentiated or rematerialized.
 
     Honest accounting (round-1 review item 2): segments are the *actual*
-    ray-scene queries counted by the forward pass (active-mask sum,
-    returned through the grad via has_aux) — not the pixels·spp·depth
-    upper bound — and each segment is counted once even though fwd+bwd
-    touches it twice.
+    ray-scene queries counted by the replay's live-mask sum (returned
+    through the grad via has_aux) — not the pixels·spp·depth upper
+    bound — and each segment is counted once even though it is touched
+    by the decision pass, the replay forward, and the backward.
     """
     import jax
     import jax.numpy as jnp
 
-    from raytracing_tpu.diff.gradients import render_once
+    from raytracing_tpu.diff.replay import replay_trace
     from raytracing_tpu.models.scenes import build
-    from raytracing_tpu.ops.traverse import closest_hit_bvh
+    from raytracing_tpu.ops.megakernel import (
+        BLOCK, build_mega_scene, trace_megakernel,
+    )
+    from raytracing_tpu.render import camera as cam_mod
+    from raytracing_tpu.render.camera import CameraParams
 
     scene, cfg = build(
         "bouncing_spheres", image_width=width, samples_per_pixel=spp, max_depth=max_depth
     )
+    mega = build_mega_scene(scene)
+    n_pix = cfg.n_pixels
+    npix_pad = -(-n_pix // BLOCK) * BLOCK
     target = jnp.zeros((cfg.image_height, cfg.image_width, 3), jnp.float32)
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    pix = jnp.tile(
+        jnp.minimum(jnp.arange(npix_pad, dtype=jnp.int32), n_pix - 1),
+        spp_chunk,
+    )
+    act0 = jnp.tile(jnp.arange(npix_pad) < n_pix, spp_chunk)
+    params0 = CameraParams.from_config(cfg)
+    derived = cam_mod.derive(cfg, params0)
+    # same shrinking-phase compaction schedule as the renderer's fast path
+    phases = [2, 3, max_depth - 5] if max_depth >= 8 else None
 
-    def loss(center, rgb, sample0):
+    def make_rays(sample0):
+        smp = sample0 + jnp.repeat(
+            jnp.arange(spp_chunk, dtype=jnp.int32), npix_pad
+        )
+        o, d, t = cam_mod.generate_rays(
+            cfg, derived, pix, smp, jnp.uint32(seed),
+            motion_blur=scene.flags.has_moving,
+        )
+        return o, d, t, smp
+
+    @jax.jit
+    def decide(sample0):
+        o, d, t, smp = make_rays(sample0)
+        _, _, ids = trace_megakernel(
+            mega, o, d, t, pix, smp, cfg.background, max_depth,
+            jnp.uint32(seed), phase_depths=phases, active0=act0,
+            want_ids=True,
+        )
+        return ids
+
+    def loss(center, rgb, sample0, ids):
         s = scene.replace(
             spheres=scene.spheres.replace(center=center),
             textures=scene.textures.replace(rgb=rgb),
         )
-        img, segments = render_once(
-            s, cfg, seed=seed, remat=True, hit_fn=closest_hit_bvh,
-            sample_start=sample0, spp=spp_chunk, return_segments=True,
+        o, d, t, smp = make_rays(sample0)
+        rad, seg = replay_trace(
+            s, ids, o, d, t, pix, smp, bg, max_depth, jnp.uint32(seed),
+            active0=act0,
         )
-        return jnp.mean((img - target) ** 2), segments
+        img = (rad * act0[:, None]).reshape(spp_chunk, npix_pad, 3)
+        img = img.mean(axis=0)[:n_pix].reshape(
+            cfg.image_height, cfg.image_width, 3
+        )
+        return jnp.mean((img - target) ** 2), seg
 
     g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1), has_aux=True))
     args = (scene.spheres.center, scene.textures.rgb)
-    g(*args, jnp.int32(0))[0][0].block_until_ready()  # compile
+    ids0 = decide(jnp.int32(0))
+    g(*args, jnp.int32(0), ids0)[0][0].block_until_ready()  # compile
     n_chunks = spp // spp_chunk
     t0 = time.perf_counter()
-    total_segments = 0
     outs = []
     for c in range(n_chunks):
-        (loss_v, seg), grads = g(*args, jnp.int32(c * spp_chunk))
+        s0 = jnp.int32(c * spp_chunk)
+        ids = decide(s0)
+        (loss_v, seg), grads = g(*args, s0, ids)
         outs.append(seg)
     total_segments = int(sum(int(s) for s in outs))
     dt = time.perf_counter() - t0

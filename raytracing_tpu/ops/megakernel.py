@@ -49,8 +49,10 @@ Mosaic gotchas encoded here (each found the hard way on v5e):
   * while_loop iterations cost ~2 µs regardless of body size — unroll
     static trip counts, amortize data-dependent ones.
 
-This is the forward/throughput path; gradients use the XLA integrator
-(render/integrator.py).
+This is the forward/throughput path. Gradients: either the XLA integrator
+(render/integrator.py) end to end, or — the fast path — this kernel as the
+*decision pass* (``trace_megakernel(want_ids=True)`` records per-bounce
+winner ids) feeding the O(B) differentiable replay in diff/replay.py.
 """
 from __future__ import annotations
 
@@ -108,6 +110,8 @@ class MegaScene(NamedTuple):
     resolve_fields: tuple = ()             # unified-table field order in tabt_rep
     noise_rep: jnp.ndarray | None = None   # (48, 256) replicated Perlin
     atlas_rep: jnp.ndarray | None = None   # (24, T_pad128) replicated atlas
+    kid_map: jnp.ndarray | None = None     # kernel idx → global prim id
+                                           # (scene/flatten.py global_id_map)
 
 
 # use the in-kernel BVH walk once the scene has more than this many
@@ -185,6 +189,7 @@ def build_mega_scene(scene: Scene) -> MegaScene:
         resolve_fields=resolve_fields,
         noise_rep=jnp.asarray(noise_rep_np),
         atlas_rep=jnp.asarray(atlas_rep_np),
+        kid_map=jnp.asarray(fl.global_id_map(scene)),
     )
 
 
@@ -1013,6 +1018,7 @@ def trace_megakernel(
     unroll: bool | None = None,
     sort_mode: str = "alive",   # "alive" | "coherent" inter-phase compaction
     layout: str | None = None,  # "block" | "group" | None (auto)
+    want_ids: bool = False,     # also return per-bounce winner ids
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -1027,7 +1033,12 @@ def trace_megakernel(
     ``"group"`` = (1,128) ray rows with pairwise chunks / BVH walk
     (this module). Auto: block unless the BVH walk is selected.
 
-    Returns (radiance (B, 3), segments traced ()).
+    Returns (radiance (B, 3), segments traced ()); with ``want_ids`` (block
+    layout only) additionally the recorded per-bounce *global* winner ids
+    ``(sum(phase_depths), B) i32`` in original ray order, -1 = miss — the
+    TPU decision pass for replay differentiation (diff/replay.py). Phase
+    compaction permutes rays mid-trace; each phase's id rows are restored
+    to camera order with one fused sort keyed on the composed permutation.
     """
     B = o.shape[0]
     assert B % BLOCK == 0, f"megakernel batch must be a multiple of {BLOCK}, got {B}"
@@ -1068,6 +1079,27 @@ def trace_megakernel(
     if layout == "block":
         assert not resolved_bvh or use_bvh is None, \
             "the block-layout kernel has no BVH walk (use layout='group')"
+    if want_ids:
+        assert layout == "block", "want_ids requires the block layout"
+
+    ids_rows = []  # (pd, B) global-id blocks, already in original ray order
+
+    def _phase_ids_to_global(phase_ids, cur_perm):
+        """(pd, n_rows, TILE) kernel ids → (pd, B) global ids, original
+        ray order (inverse of the composed compaction permutation)."""
+        pd_n = phase_ids.shape[0]
+        flat = phase_ids.reshape(pd_n, B)
+        n_kid = mega.kid_map.shape[0]
+        gid = jnp.where(
+            flat >= 0,
+            jnp.take(mega.kid_map, jnp.clip(flat, 0, n_kid - 1)),
+            jnp.int32(-1),
+        )
+        if pi > 0:  # identity permutation before the first boundary
+            ops_s = [cur_perm] + [gid[k] for k in range(pd_n)]
+            sorted_s = jax.lax.sort(ops_s, num_keys=1, is_stable=False)
+            gid = jnp.stack(sorted_s[1:], axis=0)
+        return gid
 
     for pi, pd in enumerate(phase_depths):
         so = jnp.asarray([seed, offset], jnp.uint32)
@@ -1078,7 +1110,7 @@ def trace_megakernel(
             runp = make_megakernel_block(
                 mega, max_depth=pd, background=background,
                 interpret=interpret, unroll=bool(unroll),
-                want_state=not last)
+                want_state=not last, want_ids=want_ids)
             out = runp(mega.sph_sweep, mega.quad_sweep, mega.tabt_rep,
                        mega.noise_rep, mega.atlas_rep,
                        state["ox"], state["oy"], state["oz"],
@@ -1087,6 +1119,9 @@ def trace_megakernel(
                        state["tr"], state["tg"], state["tb"],
                        state["rr"], state["rg"], state["rb"],
                        state["act"], so)
+            if want_ids:
+                out = list(out)
+                ids_rows.append(_phase_ids_to_global(out.pop(), perm))
             if last:
                 rr, rg, rb, bc = out
                 segments = segments + jnp.sum(bc)
@@ -1166,5 +1201,7 @@ def trace_megakernel(
         rg = state["rg"].reshape(B)
         rb = state["rb"].reshape(B)
     radiance = jnp.stack([rr, rg, rb], axis=-1)
+    if want_ids:
+        return radiance, segments, jnp.concatenate(ids_rows, axis=0)
     return radiance, segments
 

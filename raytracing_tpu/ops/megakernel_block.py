@@ -102,7 +102,7 @@ def _u01(x):
 def make_megakernel_block(mega, *, max_depth: int, background,
                           tmin: float = T_MIN, interpret: bool = False,
                           unroll: bool = False, ablate: tuple = (),
-                          want_state: bool = True):
+                          want_state: bool = True, want_ids: bool = False):
     """Build the block-layout megakernel for one phase.
 
     Returns ``run(sph_sweep, quad_sweep, tabt_rep, noise_rep, atlas_rep,
@@ -111,6 +111,15 @@ def make_megakernel_block(mega, *, max_depth: int, background,
     ``trace_megakernel`` can drive either interchangeably. With
     ``want_state=False`` only the first 4 (rad_r, rad_g, rad_b, bounces)
     are produced — use for the final (or only) phase.
+
+    ``want_ids`` appends one more output: the winning *kernel* primitive
+    index per (bounce, ray) — ``(n_rows·max_depth, TILE) i32``, ``-1`` for
+    miss and for bounces past a sub-block's all-dead early exit. This is
+    the TPU decision pass for replay-based differentiation
+    (diff/replay.py): grid step ``i`` owns rows ``[i·D·S, (i+1)·D·S)``
+    (D = max_depth, S = step rows), bounce ``b`` of sub-block ``s`` at row
+    ``b·S + s·8`` — an 8-aligned dynamic sublane store, which Mosaic
+    supports inside the bounce ``while_loop``.
     """
     n_sph = mega.n_sph
     n_quad = mega.n_quad
@@ -128,7 +137,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                         float(background[2]))
     U = fl
 
-    def make_kernel(n_sub, want_state):
+    def make_kernel(n_sub, want_state, want_ids):
         """``n_sub`` (8,128) ray sub-blocks are processed per grid step —
         per-step fixed costs (input/output DMA issue for ~30 buffers +
         pipeline machinery, measured ~21 µs against a ~6 µs final-scene
@@ -146,6 +155,12 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             outs = refs[22:-1]
             zref = refs[-1]
             rr_ref, rg_ref, rb_ref, bc_ref = outs[0:4]
+            k = 4
+            state_outs = None
+            if want_state:
+                state_outs = outs[k:k + 10]
+                k += 10
+            ids_ref = outs[k] if want_ids else None
 
             seed = seed_ref[0]
             b_off = seed_ref[1]
@@ -153,24 +168,30 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             zref[:] = jnp.zeros((GROUPS, TILE), jnp.float32)
             zero = zref[:]
 
+            if ids_ref is not None:
+                # deterministic -1 for bounces past a sub-block's early exit
+                ids_ref[:] = jnp.full(
+                    (max_depth * GROUPS * n_sub, TILE), -1, jnp.int32)
+
             for s in range(n_sub):
                 _trace_sub(
-                    s, zero, seed, b_off,
+                    s, n_sub, zero, seed, b_off,
                     sph_ref, quad_ref, tabt_ref, noise_ref, atlas_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tm_ref, pix_ref, smp_ref,
                     tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
                     act_ref, rr_ref, rg_ref, rb_ref, bc_ref,
-                    outs[4:] if want_state else None)
+                    state_outs, ids_ref)
 
         return kernel
 
-    def _trace_sub(s, zero, seed, b_off,
+    def _trace_sub(s, n_sub, zero, seed, b_off,
                    sph_ref, quad_ref, tabt_ref, noise_ref, atlas_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    tm_ref, pix_ref, smp_ref,
                    tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
-                   act_ref, rr_ref, rg_ref, rb_ref, bc_ref, state_refs):
+                   act_ref, rr_ref, rg_ref, rb_ref, bc_ref, state_refs,
+                   ids_ref):
         sl = slice(s * GROUPS, (s + 1) * GROUPS)
         ox0 = ox_ref[sl, :]
         oy0 = oy_ref[sl, :]
@@ -326,6 +347,10 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                 t, ib = zero + 0.5, zero + 1.0
             else:
                 t, ib = intersect(ox, oy, oz, dx, dy, dz)
+            if ids_ref is not None:
+                rec = jnp.where(t < BIG, ib, zero - 1.0).astype(jnp.int32)
+                row = b * (GROUPS * n_sub) + s * GROUPS
+                ids_ref[pl.ds(row, GROUPS), :] = rec
             if "resolve" in ablate:
                 attrs = [zero + 0.5] * len(fields)
             else:
@@ -680,13 +705,24 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             + [jax.ShapeDtypeStruct((n_rows, TILE), jnp.int32)]
             + [jax.ShapeDtypeStruct((n_rows, TILE), f32)] * (n_out - 4)
         )
+        out_specs = [ray_spec] * n_out
+        if want_ids:
+            # grid step i owns rows [i·D·S, (i+1)·D·S): bounce-major within
+            # the step (see make_megakernel_block docstring / ids_order)
+            out_shape = out_shape + [
+                jax.ShapeDtypeStruct((n_rows * max_depth, TILE), jnp.int32)
+            ]
+            out_specs = out_specs + [
+                pl.BlockSpec((step_rows * max_depth, TILE),
+                             lambda i: (i, 0), memory_space=pltpu.VMEM)
+            ]
 
         def whole(arr):
             return pl.BlockSpec(arr.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
 
-        return pl.pallas_call(
-            make_kernel(n_sub, want_state),
+        outs = pl.pallas_call(
+            make_kernel(n_sub, want_state, want_ids),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -695,7 +731,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             ] + [ray_spec] * 16 + [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=[ray_spec] * n_out,
+            out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((GROUPS, TILE), jnp.float32),
@@ -704,5 +740,16 @@ def make_megakernel_block(mega, *, max_depth: int, background,
         )(sph_sweep, quad_sweep, tabt_rep, noise_rep, atlas_rep,
           ox, oy, oz, dx, dy, dz, tmv, pix, smp,
           thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act, seed_and_offset)
+        if want_ids:
+            outs = list(outs)
+            ids = outs.pop()
+            n_steps = n_rows // step_rows
+            # step-major/bounce-major → (bounce, ray row) in input order
+            ids = (ids.reshape(n_steps, max_depth, step_rows, TILE)
+                   .transpose(1, 0, 2, 3)
+                   .reshape(max_depth, n_rows, TILE))
+            outs.append(ids)
+            return tuple(outs)
+        return outs
 
     return run

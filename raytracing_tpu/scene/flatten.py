@@ -12,9 +12,10 @@ scalar column of the primitive row. This module packs:
 
 Materials/textures fold per primitive (the reference shares them by
 pointer; we denormalize — memory is trivial at these scene sizes).
-Supported texture kinds in-kernel: solid, checker-of-solids. Scenes using
-image or noise textures report ``supported=False`` and the renderer falls
-back to the XLA wavefront path.
+Supported texture kinds in-kernel: solid, checker-of-solids, marble noise,
+and nearest-texel images up to MAX_KERNEL_TEXELS. Scenes beyond that
+(oversized atlases, bilinear filtering, nested non-solid checkers) report
+``supported=False`` and the renderer falls back to the XLA wavefront path.
 """
 from __future__ import annotations
 
@@ -152,6 +153,29 @@ def sweep_tables(scene: Scene):
         quad[:nq, 10:13] = qtab[Q_UX:Q_UZ + 1, :nq].T
         quad[:nq, 13:16] = qtab[Q_VX:Q_VZ + 1, :nq].T
     return sph, quad, ns, nq, ns_pad
+
+
+def global_id_map(scene: Scene):
+    """Kernel-index → global-primitive-id map for the megakernel's
+    recorded decisions (diff/replay.py). Kernel sphere ``j`` is the j-th
+    *real* sphere (radius > 0) in scene order; kernel quad ``j`` (at
+    column ``ns_pad + j``) is the j-th real quad. Global ids are XLA-side:
+    sphere array index, or ``scene.n_spheres + quad array index``
+    (ops/intersect.py closest_hit_brute concatenation order). Padding
+    columns map to -1 (they can never win a sweep)."""
+    radius = np.asarray(scene.spheres.radius)
+    sidx = np.nonzero(radius > 0)[0]
+    qu = np.asarray(scene.quads.u)
+    qv = np.asarray(scene.quads.v)
+    n_cross = np.cross(qu, qv)
+    qidx = np.nonzero((n_cross * n_cross).sum(-1) > 0)[0]
+    ns = len(sidx)
+    nq = len(qidx)
+    ns_pad = max(8, -(-max(ns, 1) // 8) * 8)
+    out = np.full(ns_pad + max(nq, 1), -1, np.int32)
+    out[:ns] = sidx
+    out[ns_pad:ns_pad + nq] = scene.n_spheres + qidx
+    return out
 
 
 def resolve_table_rep(table: np.ndarray, fields):
