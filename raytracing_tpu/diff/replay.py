@@ -266,3 +266,86 @@ def render_replay(
     if return_segments:
         return img, segments
     return img
+
+
+def render_replay_fast(
+    scene: Scene,
+    cfg: CameraConfig,
+    params: Optional[CameraParams] = None,
+    seed: int = 0,
+    remat: bool = True,
+    sample_start: int = 0,
+    spp: Optional[int] = None,
+    return_segments: bool = False,
+    interpret: bool = False,
+    phase_depths=None,
+    ids: Optional[jnp.ndarray] = None,
+    return_ids: bool = False,
+):
+    """``render_replay`` with the Pallas megakernel as the decision pass —
+    the production fwd+bwd path on TPU (bench.py bench_fwd_bwd wiring as a
+    library call). Pads the pixel batch to the kernel's 1024-ray block
+    multiple (padding rays start dead and contribute nothing), records
+    winner ids with ``trace_megakernel(want_ids=True)`` under
+    stop_gradient, and differentiates only the O(B·depth) replay.
+    ``interpret=True`` runs the kernel in interpret mode (CPU CI).
+
+    The decision pass flattens the scene host-side, so it cannot run on
+    tracers: under ``jax.jit``/``jax.grad`` record the ids once outside
+    (``return_ids=True``) and pass them back in (``ids=...``) — see
+    bench.py bench_fwd_bwd for the chunked production pattern.
+    """
+    from ..ops.megakernel import BLOCK, build_mega_scene, trace_megakernel
+
+    if params is None:
+        params = CameraParams.from_config(cfg)
+    if ids is None:
+        mega = build_mega_scene(scene)
+        if not mega.supported:
+            assert not return_ids, "scene unsupported by the megakernel"
+            return render_replay(
+                scene, cfg, params, seed, remat=remat,
+                sample_start=sample_start, spp=spp,
+                return_segments=return_segments,
+            )
+    derived = cam_mod.derive(cfg, params)
+    n_pix = cfg.n_pixels
+    if spp is None:
+        spp = cfg.samples_per_pixel
+    npix_pad = -(-n_pix // BLOCK) * BLOCK
+    pixel_ids = jnp.tile(
+        jnp.minimum(jnp.arange(npix_pad, dtype=jnp.int32), n_pix - 1), spp
+    )
+    active0 = jnp.tile(jnp.arange(npix_pad) < n_pix, spp)
+    sample_ids = sample_start + jnp.repeat(
+        jnp.arange(spp, dtype=jnp.int32), npix_pad
+    )
+    o, d, t = cam_mod.generate_rays(
+        cfg, derived, pixel_ids, sample_ids, jnp.uint32(seed),
+        motion_blur=scene.flags.has_moving,
+    )
+    bg = jnp.asarray(cfg.background, jnp.float32)
+    if ids is None:
+        # mega's tables are host-built constants (no gradient path); the
+        # rays are stop-graded so jax.grad never transposes the kernel
+        sg = jax.lax.stop_gradient
+        _, _, ids = trace_megakernel(
+            mega, sg(o), sg(d), sg(t), pixel_ids, sample_ids,
+            cfg.background, cfg.max_depth, jnp.uint32(seed),
+            interpret=interpret, phase_depths=phase_depths, active0=active0,
+            want_ids=True,
+        )
+    radiance, segments = replay_trace(
+        scene, ids, o, d, t, pixel_ids, sample_ids, bg,
+        cfg.max_depth, jnp.uint32(seed), remat=remat, active0=active0,
+    )
+    img = (radiance * active0[:, None]).reshape(spp, npix_pad, 3)
+    img = img.mean(axis=0)[:n_pix].reshape(
+        cfg.image_height, cfg.image_width, 3
+    )
+    out = (img,)
+    if return_segments:
+        out = out + (segments,)
+    if return_ids:
+        out = out + (ids,)
+    return out[0] if len(out) == 1 else out

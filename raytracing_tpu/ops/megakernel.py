@@ -112,6 +112,8 @@ class MegaScene(NamedTuple):
     atlas_rep: jnp.ndarray | None = None   # (24, T_pad128) replicated atlas
     kid_map: jnp.ndarray | None = None     # kernel idx → global prim id
                                            # (scene/flatten.py global_id_map)
+    sph_cluster_boxes: jnp.ndarray | None = None  # (K, 8) swept cluster AABBs
+                                           # (flatten.sphere_cluster_boxes)
 
 
 # use the in-kernel BVH walk once the scene has more than this many
@@ -190,6 +192,7 @@ def build_mega_scene(scene: Scene) -> MegaScene:
         noise_rep=jnp.asarray(noise_rep_np),
         atlas_rep=jnp.asarray(atlas_rep_np),
         kid_map=jnp.asarray(fl.global_id_map(scene)),
+        sph_cluster_boxes=jnp.asarray(fl.sphere_cluster_boxes(sph_sw)),
     )
 
 
@@ -1019,6 +1022,7 @@ def trace_megakernel(
     sort_mode: str = "alive",   # "alive" | "coherent" inter-phase compaction
     layout: str | None = None,  # "block" | "group" | None (auto)
     want_ids: bool = False,     # also return per-bounce winner ids
+    use_clusters: bool | None = None,  # block kernel AABB cluster culling
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -1110,7 +1114,8 @@ def trace_megakernel(
             runp = make_megakernel_block(
                 mega, max_depth=pd, background=background,
                 interpret=interpret, unroll=bool(unroll),
-                want_state=not last, want_ids=want_ids)
+                want_state=not last, want_ids=want_ids,
+                use_clusters=use_clusters)
             out = runp(mega.sph_sweep, mega.quad_sweep, mega.tabt_rep,
                        mega.noise_rep, mega.atlas_rep,
                        state["ox"], state["oy"], state["oz"],

@@ -102,7 +102,8 @@ def _u01(x):
 def make_megakernel_block(mega, *, max_depth: int, background,
                           tmin: float = T_MIN, interpret: bool = False,
                           unroll: bool = False, ablate: tuple = (),
-                          want_state: bool = True, want_ids: bool = False):
+                          want_state: bool = True, want_ids: bool = False,
+                          use_clusters: bool | None = None):
     """Build the block-layout megakernel for one phase.
 
     Returns ``run(sph_sweep, quad_sweep, tabt_rep, noise_rep, atlas_rep,
@@ -111,6 +112,18 @@ def make_megakernel_block(mega, *, max_depth: int, background,
     ``trace_megakernel`` can drive either interchangeably. With
     ``want_state=False`` only the first 4 (rad_r, rad_g, rad_b, bounces)
     are produced — use for the final (or only) phase.
+
+    ``use_clusters`` (auto: scenes with ≥ 64 spheres) switches the sphere
+    sweep to *clustered culling*: a static ``fori_loop`` over
+    CLUSTER_SIZE-sphere groups slab-tests each group's swept AABB (SMEM
+    scalars, scene/flatten.py sphere_cluster_boxes) against the whole
+    (8, 128) ray tile and executes the group's sweep under ``pl.when``
+    only if any lane can beat its current best t — the bvh_node.hpp:80-95
+    reject-and-clip idea at tile granularity, with the running best (t,
+    idx) in VMEM scratch instead of loop carries so the skip branch moves
+    no vector state (no while_loop, so none of its ~2 µs/iteration floor).
+    Winner semantics are unchanged (same per-primitive math in the same
+    index order; skipped groups provably cannot win).
 
     ``want_ids`` appends one more output: the winning *kernel* primitive
     index per (bounce, ray) — ``(n_rows·max_depth, TILE) i32``, ``-1`` for
@@ -136,6 +149,18 @@ def make_megakernel_block(mega, *, max_depth: int, background,
     bg_r, bg_g, bg_b = (float(background[0]), float(background[1]),
                         float(background[2]))
     U = fl
+    cbox = mega.sph_cluster_boxes
+    if use_clusters is None:
+        # measured (v5e, final scene end-to-end): 49.4M rays/s clustered
+        # vs 55.4M plain — per-cluster vector slab tests + scratch traffic
+        # cost more than the (rare, at 1024-ray tile granularity with
+        # incoherent bounce rays) skips save. Opt-in until tile-coherence
+        # is high enough (e.g. scalar frustum culling after coherent sort).
+        use_clusters = False
+    use_clusters = bool(use_clusters and cbox is not None and n_sph > 0)
+    n_clusters = int(cbox.shape[0]) if use_clusters else 0
+    if use_clusters:
+        assert n_sph_rows == n_clusters * fl.CLUSTER_SIZE
 
     def make_kernel(n_sub, want_state, want_ids):
         """``n_sub`` (8,128) ray sub-blocks are processed per grid step —
@@ -147,13 +172,13 @@ def make_megakernel_block(mega, *, max_depth: int, background,
         and their store DMAs entirely."""
 
         def kernel(*refs):
-            (sph_ref, quad_ref, tabt_ref, noise_ref, atlas_ref,
+            (sph_ref, quad_ref, cbox_ref, tabt_ref, noise_ref, atlas_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
              pix_ref, smp_ref,
              tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref, act_ref,
-             seed_ref) = refs[:22]
-            outs = refs[22:-1]
-            zref = refs[-1]
+             seed_ref) = refs[:23]
+            outs = refs[23:-3]
+            zref, tbs_ref, ibs_ref = refs[-3:]
             rr_ref, rg_ref, rb_ref, bc_ref = outs[0:4]
             k = 4
             state_outs = None
@@ -176,22 +201,24 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             for s in range(n_sub):
                 _trace_sub(
                     s, n_sub, zero, seed, b_off,
-                    sph_ref, quad_ref, tabt_ref, noise_ref, atlas_ref,
+                    sph_ref, quad_ref, cbox_ref, tabt_ref, noise_ref,
+                    atlas_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tm_ref, pix_ref, smp_ref,
                     tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
                     act_ref, rr_ref, rg_ref, rb_ref, bc_ref,
-                    state_outs, ids_ref)
+                    state_outs, ids_ref, tbs_ref, ibs_ref)
 
         return kernel
 
     def _trace_sub(s, n_sub, zero, seed, b_off,
-                   sph_ref, quad_ref, tabt_ref, noise_ref, atlas_ref,
+                   sph_ref, quad_ref, cbox_ref, tabt_ref, noise_ref,
+                   atlas_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    tm_ref, pix_ref, smp_ref,
                    tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
                    act_ref, rr_ref, rg_ref, rb_ref, bc_ref, state_refs,
-                   ids_ref):
+                   ids_ref, tbs_ref, ibs_ref):
         sl = slice(s * GROUPS, (s + 1) * GROUPS)
         ox0 = ox_ref[sl, :]
         oy0 = oy_ref[sl, :]
@@ -284,10 +311,56 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     carry = quad_body(k * SWEEP_UNROLL + u, carry)
                 return carry
 
-            carry = (zero + BIG, zero - 1.0)
-            if n_sph > 0:
-                carry = jax.lax.fori_loop(
-                    0, n_sph_rows // SWEEP_UNROLL, sph_block, carry)
+            if use_clusters:
+                # clustered culling sweep: slab-test each cluster's swept
+                # AABB (aabb.hpp:61-112 semantics, conservative) against
+                # the whole tile; sweep the 16 spheres only when some lane
+                # can still beat its best t. Best (t, idx) lives in VMEM
+                # scratch so pl.when moves no vector state.
+                tiny = jnp.float32(1e-30)
+                sdx = jnp.where(jnp.abs(dx) < tiny, tiny, dx)
+                sdy = jnp.where(jnp.abs(dy) < tiny, tiny, dy)
+                sdz = jnp.where(jnp.abs(dz) < tiny, tiny, dz)
+                idxr = 1.0 / sdx
+                idyr = 1.0 / sdy
+                idzr = 1.0 / sdz
+                tbs_ref[:] = zero + BIG
+                ibs_ref[:] = zero - 1.0
+
+                def cl_body(c, carry_i):
+                    t0 = (cbox_ref[c, 0] - ox) * idxr
+                    t1 = (cbox_ref[c, 3] - ox) * idxr
+                    lo = jnp.minimum(t0, t1)
+                    hi = jnp.maximum(t0, t1)
+                    t0 = (cbox_ref[c, 1] - oy) * idyr
+                    t1 = (cbox_ref[c, 4] - oy) * idyr
+                    lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+                    hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+                    t0 = (cbox_ref[c, 2] - oz) * idzr
+                    t1 = (cbox_ref[c, 5] - oz) * idzr
+                    lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+                    hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+                    tb_cur = tbs_ref[:]
+                    hitm = (lo <= hi) & (hi > tmin) & (lo < tb_cur)
+                    any_hit = jnp.max(jnp.where(hitm, 1.0, 0.0)) > 0.0
+
+                    @pl.when(any_hit)
+                    def _():
+                        cc = (tb_cur, ibs_ref[:])
+                        for u in range(fl.CLUSTER_SIZE):
+                            cc = sph_body(c * fl.CLUSTER_SIZE + u, cc)
+                        tbs_ref[:] = cc[0]
+                        ibs_ref[:] = cc[1]
+
+                    return carry_i
+
+                jax.lax.fori_loop(0, n_clusters, cl_body, jnp.int32(0))
+                carry = (tbs_ref[:], ibs_ref[:])
+            else:
+                carry = (zero + BIG, zero - 1.0)
+                if n_sph > 0:
+                    carry = jax.lax.fori_loop(
+                        0, n_sph_rows // SWEEP_UNROLL, sph_block, carry)
             if n_quad > 0:
                 carry = jax.lax.fori_loop(
                     0, n_quad_rows // SWEEP_UNROLL, quad_block, carry)
@@ -721,10 +794,13 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             return pl.BlockSpec(arr.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
 
+        cbox_arr = (cbox if use_clusters
+                    else jnp.zeros((1, 8), jnp.float32))
         outs = pl.pallas_call(
             make_kernel(n_sub, want_state, want_ids),
             grid=grid,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 whole(tabt_rep), whole(noise_rep), whole(atlas_rep),
@@ -735,9 +811,11 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((GROUPS, TILE), jnp.float32),
+                pltpu.VMEM((GROUPS, TILE), jnp.float32),
+                pltpu.VMEM((GROUPS, TILE), jnp.float32),
             ],
             interpret=interpret,
-        )(sph_sweep, quad_sweep, tabt_rep, noise_rep, atlas_rep,
+        )(sph_sweep, quad_sweep, cbox_arr, tabt_rep, noise_rep, atlas_rep,
           ox, oy, oz, dx, dy, dz, tmv, pix, smp,
           thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act, seed_and_offset)
         if want_ids:

@@ -107,6 +107,13 @@ def unified_table(scene: Scene, chunk: int = 8):
     return table, ns_pad, nq, flat.supported
 
 
+# spheres per culling cluster in the block kernel's clustered sweep
+# (ops/megakernel_block.py): consecutive sweep-table rows grouped under one
+# swept AABB that the kernel slab-tests against the whole ray tile before
+# (conditionally) sweeping the group
+CLUSTER_SIZE = 16
+
+
 def sweep_tables(scene: Scene):
     """Per-primitive scalar tables for the block megakernel's SMEM sweep
     (ops/megakernel_block.py): the scalar core streams one primitive's
@@ -130,11 +137,13 @@ def sweep_tables(scene: Scene):
     nq = int(np.count_nonzero((nxr * nxr).sum(0) > 0))
     ns_pad = max(8, -(-max(ns, 1) // 8) * 8)
 
-    # pad row counts to a multiple of 8 so the kernel can manually unroll
-    # its fori_loop (Mosaic only lowers unroll=1 or full). Padding rows can
-    # never win: sphere pads carry r² = -1e30 (discriminant always very
-    # negative), quad pads a zero normal (denominator rejected).
-    ns_it = max(8, -(-max(ns, 1) // 8) * 8)
+    # pad row counts to a multiple of CLUSTER_SIZE (spheres; divisible by
+    # the manual-unroll factor 8 — Mosaic only lowers fori unroll=1/full)
+    # resp. 8 (quads). Padding rows can never win: sphere pads carry
+    # r² = -1e30 (discriminant always very negative), quad pads a zero
+    # normal (denominator rejected).
+    ns_it = max(CLUSTER_SIZE,
+                -(-max(ns, 1) // CLUSTER_SIZE) * CLUSTER_SIZE)
     nq_it = max(8, -(-max(nq, 1) // 8) * 8)
     sph = np.zeros((ns_it, 8), np.float32)
     sph[:, 6] = -1e30
@@ -153,6 +162,37 @@ def sweep_tables(scene: Scene):
         quad[:nq, 10:13] = qtab[Q_UX:Q_UZ + 1, :nq].T
         quad[:nq, 13:16] = qtab[Q_VX:Q_VZ + 1, :nq].T
     return sph, quad, ns, nq, ns_pad
+
+
+def sphere_cluster_boxes(sph_sweep: np.ndarray):
+    """Swept AABBs of consecutive CLUSTER_SIZE-row groups of the sphere
+    sweep table — the cull geometry for the block kernel's clustered sweep.
+
+    Each sphere's box spans its full motion (centers ``c`` and ``c+v``,
+    the reference's t∈[0,1] motion-blur window, sphere.hpp:36-44 /
+    bvh-style swept bounds) inflated by the radius. Padding rows
+    (r² ≤ 0) contribute empty boxes; an all-padding cluster gets
+    min=+BIG/max=-BIG so its slab test can never pass.
+
+    Returns (n_clusters, 8) f32 [mnx mny mnz mxx mxy mxz 0 0] for SMEM.
+    """
+    rows = np.asarray(sph_sweep, np.float32)
+    n = rows.shape[0]
+    assert n % CLUSTER_SIZE == 0
+    c = rows[:, 0:3]
+    v = rows[:, 3:6]
+    rsq = rows[:, 6]
+    real = rsq > 0
+    r = np.sqrt(np.maximum(rsq, 0.0))[:, None]
+    mn = np.minimum(c, c + v) - r
+    mx = np.maximum(c, c + v) + r
+    mn = np.where(real[:, None], mn, 3.0e38)
+    mx = np.where(real[:, None], mx, -3.0e38)
+    k = n // CLUSTER_SIZE
+    out = np.zeros((k, 8), np.float32)
+    out[:, 0:3] = mn.reshape(k, CLUSTER_SIZE, 3).min(axis=1)
+    out[:, 3:6] = mx.reshape(k, CLUSTER_SIZE, 3).max(axis=1)
+    return out
 
 
 def global_id_map(scene: Scene):

@@ -60,6 +60,33 @@ class TestMegakernel:
         # checker + motion blur + metal + dielectric + BVH-scale scene
         _compare("bouncing_spheres", depth=5, mean_tol=2e-3)
 
+    def test_clustered_sweep_bitmatches_plain(self):
+        """The AABB cluster-culling sweep (use_clusters) must be invisible:
+        same per-primitive math in the same order, skipped clusters
+        provably cannot win → bit-identical radiance and segments."""
+        from raytracing_tpu.render import camera as cam_mod
+
+        scene, cfg = build("bouncing_spheres", image_width=16,
+                           samples_per_pixel=1, max_depth=5)
+        mega = build_mega_scene(scene)
+        assert mega.sph_cluster_boxes is not None
+        params = CameraParams.from_config(cfg)
+        derived = cam_mod.derive(cfg, params)
+        B = -(-cfg.n_pixels // BLOCK) * BLOCK
+        pix = jnp.minimum(jnp.arange(B, dtype=jnp.int32), cfg.n_pixels - 1)
+        smp = jnp.zeros(B, jnp.int32)
+        o, d, t = cam_mod.generate_rays(
+            cfg, derived, pix, smp, jnp.uint32(3),
+            motion_blur=scene.flags.has_moving,
+        )
+        args = (mega, o, d, t, pix, smp, cfg.background, 5, jnp.uint32(3))
+        r_pl, s_pl = trace_megakernel(*args, interpret=True,
+                                      use_clusters=False)
+        r_cl, s_cl = trace_megakernel(*args, interpret=True,
+                                      use_clusters=True)
+        np.testing.assert_array_equal(np.asarray(r_pl), np.asarray(r_cl))
+        assert int(s_pl) == int(s_cl)
+
 
 class TestInKernelBVH:
     """The stackless chunked-BVH walk inside the megakernel

@@ -234,6 +234,34 @@ def test_megakernel_ids_match_xla(phases):
     assert abs(int(seg_rep) - int(seg_mk)) <= max(4, int(seg_mk) // 200)
 
 
+def test_render_replay_fast_interpret():
+    """The one-call TPU fast-grad path (megakernel decisions + replay) in
+    interpret mode: image matches the XLA-decided replay within the
+    kernel-vs-XLA coin-flip tolerance, and grads flow finite."""
+    from raytracing_tpu.diff.replay import render_replay_fast
+
+    scene, cfg = build("bouncing_spheres", image_width=16,
+                       samples_per_pixel=2, max_depth=5)
+    img_ref = np.asarray(render_replay(scene, cfg, seed=3))
+    img_fast = np.asarray(render_replay_fast(scene, cfg, seed=3,
+                                             interpret=True))
+    # same kernel-vs-XLA decision coin-flip tolerance class as
+    # tests/test_megakernel.py _compare (mean_tol 2e-3 on this scene)
+    assert np.abs(img_ref - img_fast).mean() < 3e-3
+
+    # grad pattern: record ids outside the differentiated function (the
+    # decision pass flattens the scene host-side), replay inside
+    _, ids = render_replay_fast(scene, cfg, seed=3, interpret=True,
+                                return_ids=True)
+
+    def loss(center):
+        s = scene.replace(spheres=scene.spheres.replace(center=center))
+        return jnp.mean(render_replay_fast(s, cfg, seed=3, ids=ids))
+
+    g = jax.jit(jax.grad(loss))(scene.spheres.center)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_precomputed_ids_pass_through():
     """render_replay(ids=...) skips the decision pass and must agree with
     the self-recorded variant — the contract the TPU megakernel decision
