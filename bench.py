@@ -123,7 +123,6 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
         )
         return o, d, t, smp
 
-    @jax.jit
     def decide(sample0):
         o, d, t, smp = make_rays(sample0)
         _, _, ids = trace_megakernel(
@@ -149,20 +148,34 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
         )
         return jnp.mean((img - target) ** 2), seg
 
-    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1), has_aux=True))
+    g = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)
     args = (scene.spheres.center, scene.textures.rgb)
-    ids0 = decide(jnp.int32(0))
-    g(*args, jnp.int32(0), ids0)[0][0].block_until_ready()  # compile
     n_chunks = spp // spp_chunk
+
+    # One dispatch for the whole fwd+bwd sweep: the per-chunk Python loop
+    # pays ~1.8 ms of tunnel dispatch latency per jitted call on this
+    # setup (see render/renderer.py fused mode); the fori_loop body runs
+    # the megakernel decision pass + the differentiated replay per chunk
+    # and accumulates grads + segments on device.
+    def sweep(center, rgb):
+        def body(c, carry):
+            gc, gr, segs = carry
+            s0 = (c * spp_chunk).astype(jnp.int32)
+            ids = decide(s0)
+            (_, seg), grads = g(center, rgb, s0, ids)
+            return (gc + grads[0], gr + grads[1], segs + seg)
+
+        init = (jnp.zeros_like(center), jnp.zeros_like(rgb),
+                jnp.zeros((), jnp.int32))
+        return jax.lax.fori_loop(0, n_chunks, body, init)
+
+    fn = jax.jit(sweep)
+    compiled = fn.lower(*args).compile()
     t0 = time.perf_counter()
-    outs = []
-    for c in range(n_chunks):
-        s0 = jnp.int32(c * spp_chunk)
-        ids = decide(s0)
-        (loss_v, seg), grads = g(*args, s0, ids)
-        outs.append(seg)
-    total_segments = int(sum(int(s) for s in outs))
+    gc, gr, segs = compiled(*args)
+    gc.block_until_ready()
     dt = time.perf_counter() - t0
+    total_segments = int(segs)
     return dict(seconds=dt, segments=total_segments,
                 rays_per_s=total_segments / dt)
 

@@ -64,6 +64,7 @@ def _render_chunk(
     mode: str,
     remat: bool,
     mega=None,                  # MegaScene → use the Pallas megakernel
+    phase_depths=None,          # megakernel phase schedule override
 ):
     """One launch: n_block contiguous pixels × spp_chunk samples.
     Returns (block radiance *sum* over the chunk's samples (n_block, 3),
@@ -92,8 +93,8 @@ def _render_chunk(
         # fused-sort compaction (one multi-operand lax.sort per boundary,
         # ~0.2 ms) this measured 5.2 ms vs 17.7 ms single-phase device
         # time on the final-scene 131072-ray depth-20 workload (v5e).
-        phases = None
-        if cfg.max_depth > 6:
+        phases = phase_depths
+        if phases is None and cfg.max_depth > 6:
             phases = [2, 3, cfg.max_depth - 5]
         radiance, segments = trace_megakernel(
             mega, o, d, t, pixel_ids, sample_ids, cfg.background,
@@ -133,11 +134,17 @@ class Renderer:
         mode: str = "scan",
         remat: bool = False,
         max_rays_per_launch: int = 1 << 20,
+        fused: bool = True,
+        phase_depths=None,
     ):
         self.cfg = cfg
         self.hit_method = hit_method
         self.mode = mode
         self.remat = remat
+        self.phase_depths = phase_depths
+        # whole-render single-dispatch mode (see render()); falls back to
+        # the per-chunk loop when progress/checkpointing needs host control
+        self.fused = fused
         n_pix = cfg.n_pixels
         if n_pix <= max_rays_per_launch:
             self.n_block = n_pix
@@ -154,6 +161,10 @@ class Renderer:
         )
         self._compiled = None
         self._compiled_scene = None
+        self._chunk_fn = None
+        self._fused = None
+        self._fused_key = None
+        self._fused_exe = None
 
     def _get_compiled(self, scene: Scene):
         # The megakernel path bakes the flattened scene tables into the
@@ -200,9 +211,45 @@ class Renderer:
                 mode=self.mode,
                 remat=self.remat,
                 mega=mega,
+                phase_depths=self.phase_depths,
             )
+            self._chunk_fn = fn
             self._compiled = jax.jit(fn)
         return self._compiled
+
+    def _get_fused(self, scene: Scene, n_blocks: int, start_schunk: int,
+                   total: int):
+        """Whole-render fn: fori_loop over all (sample-chunk, block) chunks
+        in one jit — one host dispatch for the full image (the per-chunk
+        loop pays ~1.8 ms tunnel latency per call on this setup)."""
+        self._get_compiled(scene)  # (re)build self._chunk_fn for this scene
+        key = (n_blocks, start_schunk, total, self._compiled_scene)
+        if self._fused is not None and self._fused_key == key:
+            return self._fused
+        self._fused_exe = None
+        chunk_fn = self._chunk_fn
+        n_block, spp_chunk = self.n_block, self.spp_chunk
+
+        def render_all(scene, params, accum0, seed):
+            def body(i, carry):
+                accum, segs = carry
+                c = i + start_schunk * n_blocks
+                s = c // n_blocks
+                b = c % n_blocks
+                rad, seg = chunk_fn(
+                    scene, params, b * n_block, s * spp_chunk, seed)
+                old = jax.lax.dynamic_slice(
+                    accum, (b * n_block, 0), (n_block, 3))
+                accum = jax.lax.dynamic_update_slice(
+                    accum, old + rad, (b * n_block, 0))
+                return accum, segs.at[i].set(seg)
+
+            init = (accum0, jnp.zeros((total,), jnp.int32))
+            return jax.lax.fori_loop(0, total, body, init)
+
+        self._fused = jax.jit(render_all)
+        self._fused_key = key
+        return self._fused
 
     def render(
         self,
@@ -235,6 +282,37 @@ class Renderer:
             accum = jnp.asarray(resume_state["accum"])
             seg_base = int(resume_state["segments"])
             start_schunk = int(resume_state["schunk"])
+
+        if self.fused and checkpoint_cb is None and not progress:
+            # One device dispatch for the whole render: a fori_loop over
+            # every (sample-chunk, block) chunk inside a single jit. On the
+            # tunneled-TPU setup each jitted call costs ~1.8 ms of pure
+            # host↔device dispatch latency regardless of content (measured:
+            # a 4 KB XLA add and a 10-pallas-launch chain both ≈1.8-2.0 ms),
+            # so the per-chunk Python loop pays ~2 dispatches/chunk of dead
+            # wall time; fusing removes all but one.
+            total = (n_schunks - start_schunk) * n_blocks
+            fused_fn = self._get_fused(scene, n_blocks, start_schunk, total)
+            # AOT compile so the single timed execution excludes compile
+            # without a throwaway warm-up render; cache the executable so
+            # repeated render() calls skip re-lowering
+            if self._fused_exe is None:
+                self._fused_exe = fused_fn.lower(
+                    scene, params, accum, seed_arr).compile()
+            compiled = self._fused_exe
+            t0 = _time.perf_counter()
+            accum, segs_vec = compiled(scene, params, accum, seed_arr)
+            accum.block_until_ready()
+            seconds = _time.perf_counter() - t0
+            segments = seg_base + int(
+                np.sum(np.asarray(segs_vec, np.int64), initial=0))
+            mean = np.asarray(accum[:n_pix]) / cfg.samples_per_pixel
+            return RenderResult(
+                radiance=mean.reshape(cfg.image_height, cfg.image_width, 3),
+                segments=segments,
+                seconds=seconds,
+                launches=total,
+            )
 
         # Warm-up compile outside the timed region.
         fn(scene, params, jnp.int32(0), jnp.int32(0), seed_arr)[0].block_until_ready()
