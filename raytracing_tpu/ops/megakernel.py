@@ -130,6 +130,20 @@ WALK_UNROLL = 8
 
 
 def build_mega_scene(scene: Scene) -> MegaScene:
+    # spatially reorder spheres (Morton, oversized-first) so the sweep
+    # table's CLUSTER_SIZE groups are compact blobs the scalar frustum
+    # cull can reject; kid_map composes the permutation back to original
+    # scene ids so recorded decisions stay scene-order (flatten.py
+    # sphere_cluster_order)
+    orig_n_spheres = scene.n_spheres
+    sph_perm = fl.sphere_cluster_order(scene)
+    reordered = not np.array_equal(sph_perm, np.arange(len(sph_perm)))
+    if reordered:
+        scene = scene.replace(
+            spheres=jax.tree_util.tree_map(
+                lambda a: a[np.asarray(sph_perm)], scene.spheres
+            )
+        )
     table, ns_pad, nq, supported = fl.unified_table(scene, chunk=CHUNK)
     # kernel layout: primitives on sublanes, fields on lanes (padded to 128)
     t = np.zeros((table.shape[1], TILE), np.float32)
@@ -191,9 +205,23 @@ def build_mega_scene(scene: Scene) -> MegaScene:
         resolve_fields=resolve_fields,
         noise_rep=jnp.asarray(noise_rep_np),
         atlas_rep=jnp.asarray(atlas_rep_np),
-        kid_map=jnp.asarray(fl.global_id_map(scene)),
+        kid_map=jnp.asarray(_compose_kid_map(
+            fl.global_id_map(scene), sph_perm if reordered else None,
+            orig_n_spheres)),
         sph_cluster_boxes=jnp.asarray(fl.sphere_cluster_boxes(sph_sw)),
     )
+
+
+def _compose_kid_map(kid: np.ndarray, sph_perm, n_spheres: int):
+    """Map kernel winner ids through the cluster-order sphere permutation
+    back to ORIGINAL scene sphere indices (quad ids are untouched — quads
+    are not reordered)."""
+    if sph_perm is None:
+        return kid
+    kid = np.array(kid)
+    m = (kid >= 0) & (kid < n_spheres)
+    kid[m] = np.asarray(sph_perm)[kid[m]]
+    return kid
 
 
 def _pcg4d(a, b, c, d):
@@ -1023,6 +1051,7 @@ def trace_megakernel(
     layout: str | None = None,  # "block" | "group" | None (auto)
     want_ids: bool = False,     # also return per-bounce winner ids
     use_clusters: bool | None = None,  # block kernel AABB cluster culling
+    regen=None,  # (perm (B,) i32) -> (tm, pix, smp): recompute instead of sort
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -1156,7 +1185,20 @@ def trace_megakernel(
             # argsort + per-array gather formulation compiles to ~14
             # element-serial gather fusions at ~1.1 ms each on v5e inside
             # this module — 16+ ms per boundary, 3x the phased kernels
-            # themselves; the fused sort runs in ~0.2 ms.)
+            # themselves; the fused sort is far cheaper.) TPU sort cost
+            # scales with operand count and comparator size, so the sort
+            # is slimmed three ways (measured ~2.3x on v5e, see
+            # /tmp/micro history): (a) the key is a *unique* int32
+            # (dead-flag · B + lane) so an UNstable single-compare sort
+            # reproduces the stable dead-last partition exactly — f32
+            # keys generate NaN-canonicalizing selects in the comparator
+            # and is_stable appends an iota tiebreaker; (b) ``act`` is
+            # not sorted — it is re-derived from the sorted key;
+            # (c) at the *first* boundary the phase-1 radiance (still in
+            # camera order: no prior permutation) is set aside and the
+            # kernel re-accumulates from zero, dropping rr/rg/rb from
+            # that sort; the set-aside is added back after the final
+            # unpermute.
             alive_flat = state["act"].reshape(B)
             if sort_mode == "coherent":
                 # alive-first, then direction octant, then quantized origin
@@ -1186,21 +1228,58 @@ def trace_megakernel(
                     + cell(state["oz"], 2)
                 )
             else:
-                # plain stable alive-first compaction
-                key = 1.0 - alive_flat
-            names = list(state.keys())
+                # plain alive-first compaction: unique composite key makes
+                # the unstable sort bit-identical to the stable partition
+                key = (alive_flat <= 0.0).astype(jnp.int32) * B + order0
+                stable = False
+            if sort_mode == "coherent":
+                # non-unique key: stability (iota tiebreak) keeps the
+                # partition deterministic
+                stable = True
+            if pi == 0:
+                rad0 = (state["rr"], state["rg"], state["rb"])
+                names = [k for k in state.keys()
+                         if k not in ("act", "rr", "rg", "rb")]
+            else:
+                names = [k for k in state.keys() if k != "act"]
+            if regen is not None:
+                # tm/pix/smp are pure functions of the ORIGINAL ray index
+                # (camera RNG streams keyed on (pixel, sample)): recompute
+                # them from the sorted permutation instead of moving three
+                # more 4-byte columns through the sort
+                names = [k for k in names if k not in ("tm", "pix", "smp")]
             ops = [key] + [state[k].reshape(B) for k in names] + [perm]
-            sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+            sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=stable)
             for k, v in zip(names, sorted_ops[1:1 + len(names)]):
                 state[k] = v.reshape(rows, TILE)
+            if sort_mode == "coherent":
+                dead_bit = sorted_ops[0] >= (1 << 30)
+            else:
+                dead_bit = sorted_ops[0] >= B
+            state["act"] = jnp.where(
+                dead_bit, 0.0, 1.0).reshape(rows, TILE)
+            if pi == 0:
+                zero2 = jnp.zeros((rows, TILE), jnp.float32)
+                state.update(rr=zero2, rg=zero2, rb=zero2)
             perm = sorted_ops[-1]
+            if regen is not None:
+                tm2, pix2, smp2 = regen(perm)
+                state.update(
+                    tm=tm2.astype(jnp.float32).reshape(rows, TILE),
+                    pix=pix2.astype(jnp.int32).reshape(rows, TILE),
+                    smp=smp2.astype(jnp.int32).reshape(rows, TILE),
+                )
 
     # undo the composed permutation: one more fused sort keyed on the
-    # original ray index restores camera order
+    # original ray index restores camera order, then the set-aside
+    # phase-1 radiance (already in camera order) is added back
     if len(phase_depths) > 1:
         _, rr, rg, rb = jax.lax.sort(
             [perm, state["rr"].reshape(B), state["rg"].reshape(B),
              state["rb"].reshape(B)], num_keys=1, is_stable=False)
+        rr = rr + rad0[0].reshape(B)
+        rg = rg + rad0[1].reshape(B)
+        rb = rb + rad0[2].reshape(B)
     else:
         rr = state["rr"].reshape(B)
         rg = state["rg"].reshape(B)

@@ -152,12 +152,13 @@ def make_megakernel_block(mega, *, max_depth: int, background,
     cbox = mega.sph_cluster_boxes
     if use_clusters is None:
         # measured (v5e, final scene end-to-end): 49.4M rays/s clustered
-        # vs 55.4M plain — per-cluster vector slab tests + scratch traffic
-        # cost more than the (rare, at 1024-ray tile granularity with
-        # incoherent bounce rays) skips save. Opt-in until tile-coherence
-        # is high enough (e.g. scalar frustum culling after coherent sort).
+        # (vector slab tests) vs 55.4M plain — per-cluster vector slab
+        # tests + scratch traffic cost more than the skips save. The
+        # scalar-core cone test ("frustum") moves the whole cull off the
+        # vector unit; see trace_megakernel for the default policy.
         use_clusters = False
-    use_clusters = bool(use_clusters and cbox is not None and n_sph > 0)
+    if not (cbox is not None and n_sph > 0):
+        use_clusters = False
     n_clusters = int(cbox.shape[0]) if use_clusters else 0
     if use_clusters:
         assert n_sph_rows == n_clusters * fl.CLUSTER_SIZE
@@ -177,8 +178,8 @@ def make_megakernel_block(mega, *, max_depth: int, background,
              pix_ref, smp_ref,
              tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref, act_ref,
              seed_ref) = refs[:23]
-            outs = refs[23:-3]
-            zref, tbs_ref, ibs_ref = refs[-3:]
+            outs = refs[23:-4]
+            zref, tbs_ref, ibs_ref, clist_ref = refs[-4:]
             rr_ref, rg_ref, rb_ref, bc_ref = outs[0:4]
             k = 4
             state_outs = None
@@ -207,7 +208,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     tm_ref, pix_ref, smp_ref,
                     tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
                     act_ref, rr_ref, rg_ref, rb_ref, bc_ref,
-                    state_outs, ids_ref, tbs_ref, ibs_ref)
+                    state_outs, ids_ref, tbs_ref, ibs_ref, clist_ref)
 
         return kernel
 
@@ -218,7 +219,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                    tm_ref, pix_ref, smp_ref,
                    tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
                    act_ref, rr_ref, rg_ref, rb_ref, bc_ref, state_refs,
-                   ids_ref, tbs_ref, ibs_ref):
+                   ids_ref, tbs_ref, ibs_ref, clist_ref):
         sl = slice(s * GROUPS, (s + 1) * GROUPS)
         ox0 = ox_ref[sl, :]
         oy0 = oy_ref[sl, :]
@@ -311,7 +312,141 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     carry = quad_body(k * SWEEP_UNROLL + u, carry)
                 return carry
 
-            if use_clusters:
+            if use_clusters == "list":
+                # branchless survivor-list sweep: the scalar core runs the
+                # same conservative cone-vs-bounding-sphere test as the
+                # "frustum" variant, but instead of a pl.when per cluster
+                # (measured ~12% whole-render overhead from 31 taken-or-
+                # not branches per bounce) it compacts the ids of clusters
+                # that might contain a hit into an SMEM list — an
+                # UNCONDITIONAL store at position cnt plus a conditional
+                # increment, so a rejected cluster's slot is simply
+                # overwritten — and then one dynamic-trip loop sweeps
+                # exactly those clusters with zero branches in the vector
+                # stream. Best (t, idx) lives in VMEM scratch so the loop
+                # carries only the index.
+                ws = 1.0 / 1024.0
+                oxm = jnp.sum(ox) * ws
+                oym = jnp.sum(oy) * ws
+                ozm = jnp.sum(oz) * ws
+                r_o = jnp.sqrt(jnp.max(
+                    (ox - oxm) ** 2 + (oy - oym) ** 2 + (oz - ozm) ** 2))
+                uxm = jnp.sum(dx) * ws
+                uym = jnp.sum(dy) * ws
+                uzm = jnp.sum(dz) * ws
+                ulen = jnp.sqrt(uxm * uxm + uym * uym + uzm * uzm)
+                uinv = 1.0 / jnp.maximum(ulen, 1e-30)
+                ux = uxm * uinv
+                uy = uym * uinv
+                uz = uzm * uinv
+                dn = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-30)
+                cmin = jnp.min((dx * ux + dy * uy + dz * uz) * dn)
+                wide = cmin <= 0.05
+                cmin_c = jnp.maximum(cmin, 0.05)
+                smax = jnp.sqrt(jnp.maximum(1.0 - cmin_c * cmin_c, 0.0))
+
+                def build(c, cnt):
+                    ccx = (cbox_ref[c, 0] + cbox_ref[c, 3]) * 0.5
+                    ccy = (cbox_ref[c, 1] + cbox_ref[c, 4]) * 0.5
+                    ccz = (cbox_ref[c, 2] + cbox_ref[c, 5]) * 0.5
+                    ex = (cbox_ref[c, 3] - cbox_ref[c, 0]) * 0.5
+                    ey = (cbox_ref[c, 4] - cbox_ref[c, 1]) * 0.5
+                    ez = (cbox_ref[c, 5] - cbox_ref[c, 2]) * 0.5
+                    rad = jnp.sqrt(ex * ex + ey * ey + ez * ez) + r_o
+                    wx = ccx - oxm
+                    wy = ccy - oym
+                    wz = ccz - ozm
+                    sx = wx * ux + wy * uy + wz * uz
+                    q2 = jnp.maximum(
+                        wx * wx + wy * wy + wz * wz - sx * sx, 0.0)
+                    lhs = jnp.sqrt(q2) * cmin_c - sx * smax
+                    maybe = wide | (lhs <= rad)
+                    clist_ref[cnt] = c
+                    return cnt + maybe.astype(jnp.int32)
+
+                n_exec = jax.lax.fori_loop(
+                    0, n_clusters, build, jnp.int32(0))
+                tbs_ref[:] = zero + BIG
+                ibs_ref[:] = zero - 1.0
+
+                def sweep_one(i, _):
+                    j = clist_ref[i]
+                    cc = (tbs_ref[:], ibs_ref[:])
+                    for u in range(fl.CLUSTER_SIZE):
+                        cc = sph_body(j * fl.CLUSTER_SIZE + u, cc)
+                    tbs_ref[:] = cc[0]
+                    ibs_ref[:] = cc[1]
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(0, n_exec, sweep_one, jnp.int32(0))
+                carry = (tbs_ref[:], ibs_ref[:])
+            elif use_clusters == "frustum":
+                # scalar-core cone culling: bound the tile's 1024 rays by
+                # one cone (apex = origin-box center inflated by its
+                # half-diagonal r_o, axis u = mean direction, aperture
+                # from the min lane cosine) and test each cluster's
+                # bounding sphere against it ON THE SCALAR CORE, which
+                # runs ahead of the VPU in Mosaic's software pipeline —
+                # a culled cluster costs ~34 scalar ops and zero vector
+                # work. Conservative: q·cosθ − s·sinθ is the dot of
+                # (q, s) with the unit vector (cosθ, −sinθ), hence a
+                # lower bound on the center's distance to the cone
+                # (exact on the lateral surface, ≤ √(q²+s²) at the
+                # apex), so "lhs > R+r_o ⇒ cull" can never drop a hit;
+                # executed clusters keep the exact per-sphere math and
+                # index order (same argument as the slab variant below).
+                ws = 1.0 / 1024.0
+                oxm = jnp.sum(ox) * ws
+                oym = jnp.sum(oy) * ws
+                ozm = jnp.sum(oz) * ws
+                r_o = jnp.sqrt(jnp.max(
+                    (ox - oxm) ** 2 + (oy - oym) ** 2 + (oz - ozm) ** 2))
+                uxm = jnp.sum(dx) * ws
+                uym = jnp.sum(dy) * ws
+                uzm = jnp.sum(dz) * ws
+                ulen = jnp.sqrt(uxm * uxm + uym * uym + uzm * uzm)
+                uinv = 1.0 / jnp.maximum(ulen, 1e-30)
+                ux = uxm * uinv
+                uy = uym * uinv
+                uz = uzm * uinv
+                dn = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-30)
+                cmin = jnp.min((dx * ux + dy * uy + dz * uz) * dn)
+                wide = cmin <= 0.05  # cone ≳87°: culling can't pay
+                cmin_c = jnp.maximum(cmin, 0.05)
+                smax = jnp.sqrt(jnp.maximum(1.0 - cmin_c * cmin_c, 0.0))
+                tbs_ref[:] = zero + BIG
+                ibs_ref[:] = zero - 1.0
+
+                def cl_body(c, carry_i):
+                    ccx = (cbox_ref[c, 0] + cbox_ref[c, 3]) * 0.5
+                    ccy = (cbox_ref[c, 1] + cbox_ref[c, 4]) * 0.5
+                    ccz = (cbox_ref[c, 2] + cbox_ref[c, 5]) * 0.5
+                    ex = (cbox_ref[c, 3] - cbox_ref[c, 0]) * 0.5
+                    ey = (cbox_ref[c, 4] - cbox_ref[c, 1]) * 0.5
+                    ez = (cbox_ref[c, 5] - cbox_ref[c, 2]) * 0.5
+                    rad = jnp.sqrt(ex * ex + ey * ey + ez * ez) + r_o
+                    wx = ccx - oxm
+                    wy = ccy - oym
+                    wz = ccz - ozm
+                    s = wx * ux + wy * uy + wz * uz
+                    q2 = jnp.maximum(
+                        wx * wx + wy * wy + wz * wz - s * s, 0.0)
+                    lhs = jnp.sqrt(q2) * cmin_c - s * smax
+                    maybe = wide | (lhs <= rad)
+
+                    @pl.when(maybe)
+                    def _():
+                        cc = (tbs_ref[:], ibs_ref[:])
+                        for u in range(fl.CLUSTER_SIZE):
+                            cc = sph_body(c * fl.CLUSTER_SIZE + u, cc)
+                        tbs_ref[:] = cc[0]
+                        ibs_ref[:] = cc[1]
+
+                    return carry_i
+
+                jax.lax.fori_loop(0, n_clusters, cl_body, jnp.int32(0))
+                carry = (tbs_ref[:], ibs_ref[:])
+            elif use_clusters:
                 # clustered culling sweep: slab-test each cluster's swept
                 # AABB (aabb.hpp:61-112 semantics, conservative) against
                 # the whole tile; sweep the 16 spheres only when some lane
@@ -813,6 +948,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                 pltpu.VMEM((GROUPS, TILE), jnp.float32),
                 pltpu.VMEM((GROUPS, TILE), jnp.float32),
                 pltpu.VMEM((GROUPS, TILE), jnp.float32),
+                pltpu.SMEM((max(n_clusters, 1),), jnp.int32),
             ],
             interpret=interpret,
         )(sph_sweep, quad_sweep, cbox_arr, tabt_rep, noise_rep, atlas_rep,

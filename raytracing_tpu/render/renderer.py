@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import rng as rng_mod
 from ..core.color import to_u8_image
 from ..ops.intersect import closest_hit_brute
 from ..scene.types import Scene
@@ -65,26 +66,43 @@ def _render_chunk(
     remat: bool,
     mega=None,                  # MegaScene → use the Pallas megakernel
     phase_depths=None,          # megakernel phase schedule override
+    sort_mode: str = "alive",   # megakernel inter-phase compaction mode
+    use_clusters=None,          # megakernel sphere-sweep AABB culling
+    ray_order: str = "sample",  # lane layout: "sample" | "pixel" (see below)
 ):
     """One launch: n_block contiguous pixels × spp_chunk samples.
     Returns (block radiance *sum* over the chunk's samples (n_block, 3),
-    segments traced ())."""
+    segments traced ()).
+
+    ``ray_order`` fixes how (pixel, sample) pairs map to ray lanes:
+    "sample" = sample-major (all pixels for sample s, then s+1 — a
+    1024-ray megakernel tile spans 1024 *pixels*, i.e. several full image
+    rows); "pixel" = pixel-major (spp_chunk consecutive samples of each
+    pixel are adjacent — a tile spans only 1024/spp_chunk pixels, giving
+    the tile a far tighter ray cone for the scalar frustum cull). The
+    per-ray RNG streams are keyed on (pixel, sample) values, not lanes,
+    so every path traces identically either way (equal segment counts);
+    the image matches to ~1 ulp (the per-pixel sample sum reduces along
+    a different axis)."""
     derived = cam_mod.derive(cfg, params)
     pix_raw = pixel_start + jnp.arange(n_block, dtype=jnp.int32)
     pix = jnp.minimum(pix_raw, cfg.n_pixels - 1)      # clamp tail padding
-    pixel_ids = jnp.tile(pix, spp_chunk)              # (B,)
-    sample_ids = sample_start + jnp.repeat(
-        jnp.arange(spp_chunk, dtype=jnp.int32), n_block
-    )
+    srange = jnp.arange(spp_chunk, dtype=jnp.int32)
+    if ray_order == "pixel":
+        pixel_ids = jnp.repeat(pix, spp_chunk)        # (B,)
+        sample_ids = sample_start + jnp.tile(srange, n_block)
+        pix_ok = jnp.repeat(pix_raw < cfg.n_pixels, spp_chunk)
+    else:
+        pixel_ids = jnp.tile(pix, spp_chunk)          # (B,)
+        sample_ids = sample_start + jnp.repeat(srange, n_block)
+        pix_ok = jnp.tile(pix_raw < cfg.n_pixels, spp_chunk)
     o, d, t = cam_mod.generate_rays(
         cfg, derived, pixel_ids, sample_ids, seed, motion_blur=scene.flags.has_moving
     )
     # Padded rays — tail samples (sample >= spp) AND the last block's
     # clamped duplicate pixels — start dead: they neither trace (no wasted
     # bounces) nor count toward the segments metric.
-    valid0 = (sample_ids < cfg.samples_per_pixel) & jnp.tile(
-        pix_raw < cfg.n_pixels, spp_chunk
-    )
+    valid0 = (sample_ids < cfg.samples_per_pixel) & pix_ok
     if mega is not None:
         from ..ops.megakernel import trace_megakernel
 
@@ -96,9 +114,31 @@ def _render_chunk(
         phases = phase_depths
         if phases is None and cfg.max_depth > 6:
             phases = [2, 3, cfg.max_depth - 5]
+
+        def regen(perm):
+            # tm/pix/smp are pure functions of the original ray index:
+            # rebuild them after each compaction instead of sorting three
+            # more state columns (bit-identical to the generate_rays
+            # stream — same (pixel, sample, seed) RNG keys)
+            if ray_order == "pixel":
+                blk = perm // spp_chunk
+                smp_r = sample_start + perm % spp_chunk
+            else:
+                blk = perm % n_block
+                smp_r = sample_start + perm // n_block
+            pix_r = jnp.minimum(pixel_start + blk, cfg.n_pixels - 1)
+            if scene.flags.has_moving:
+                tm_r = rng_mod.uniform4(
+                    pix_r, smp_r, jnp.uint32(rng_mod.STREAM_TIME), seed
+                )[:, 0]
+            else:
+                tm_r = jnp.zeros(perm.shape, jnp.float32)
+            return tm_r, pix_r, smp_r
+
         radiance, segments = trace_megakernel(
             mega, o, d, t, pixel_ids, sample_ids, cfg.background,
             cfg.max_depth, seed, phase_depths=phases, active0=valid0,
+            sort_mode=sort_mode, use_clusters=use_clusters, regen=regen,
         )
     else:
         radiance, segments = trace(
@@ -119,6 +159,8 @@ def _render_chunk(
     # Mask samples past spp (tail of the last sample chunk).
     valid = (sample_ids < cfg.samples_per_pixel)[:, None]
     radiance = jnp.where(valid, radiance, 0.0)
+    if ray_order == "pixel":
+        return radiance.reshape(n_block, spp_chunk, 3).sum(axis=1), segments
     return radiance.reshape(spp_chunk, n_block, 3).sum(axis=0), segments
 
 
@@ -136,29 +178,51 @@ class Renderer:
         max_rays_per_launch: int = 1 << 20,
         fused: bool = True,
         phase_depths=None,
+        sort_mode: str = "alive",
+        use_clusters=None,
+        ray_order: str = "sample",
+        spp_chunk: int | None = None,
     ):
         self.cfg = cfg
         self.hit_method = hit_method
         self.mode = mode
         self.remat = remat
         self.phase_depths = phase_depths
+        self.sort_mode = sort_mode
+        self.use_clusters = use_clusters
+        self.ray_order = ray_order
         # whole-render single-dispatch mode (see render()); falls back to
         # the per-chunk loop when progress/checkpointing needs host control
         self.fused = fused
         n_pix = cfg.n_pixels
-        if n_pix <= max_rays_per_launch:
-            self.n_block = n_pix
+        if spp_chunk is not None:
+            # explicit samples-per-launch (pixel-major tiles want
+            # spp_chunk ≥ 8 so a 1024-ray tile spans few pixels): derive
+            # the pixel-block size from the launch cap, then shrink it to
+            # the smallest 1024-multiple that still covers the image in
+            # the same number of blocks (minimizes dead pixel padding)
+            self.spp_chunk = max(1, min(cfg.samples_per_pixel, spp_chunk))
+            cap = max(1024, max_rays_per_launch // self.spp_chunk)
+            n_block = min(-(-n_pix // 1024) * 1024, cap // 1024 * 1024)
+            blocks = -(-n_pix // n_block)
+            per_block = -(-n_pix // blocks)
+            self.n_block = -(-per_block // 1024) * 1024
         else:
-            self.n_block = max_rays_per_launch
-        # megakernel launches want 1024-ray multiples; the padding (dead
-        # out-of-range pixels, rows discarded on readback) is harmless for
-        # the other hit methods too, so apply it unconditionally — "auto"
-        # may resolve to the megakernel at compile time. Round *before*
-        # deriving spp_chunk so rays-per-launch never exceeds the cap.
-        self.n_block = -(-self.n_block // 1024) * 1024
-        self.spp_chunk = max(
-            1, min(cfg.samples_per_pixel, max_rays_per_launch // self.n_block)
-        )
+            if n_pix <= max_rays_per_launch:
+                self.n_block = n_pix
+            else:
+                self.n_block = max_rays_per_launch
+            # megakernel launches want 1024-ray multiples; the padding
+            # (dead out-of-range pixels, rows discarded on readback) is
+            # harmless for the other hit methods too, so apply it
+            # unconditionally — "auto" may resolve to the megakernel at
+            # compile time. Round *before* deriving spp_chunk so
+            # rays-per-launch never exceeds the cap.
+            self.n_block = -(-self.n_block // 1024) * 1024
+            self.spp_chunk = max(
+                1,
+                min(cfg.samples_per_pixel, max_rays_per_launch // self.n_block),
+            )
         self._compiled = None
         self._compiled_scene = None
         self._chunk_fn = None
@@ -212,6 +276,9 @@ class Renderer:
                 remat=self.remat,
                 mega=mega,
                 phase_depths=self.phase_depths,
+                sort_mode=self.sort_mode,
+                use_clusters=self.use_clusters,
+                ray_order=self.ray_order,
             )
             self._chunk_fn = fn
             self._compiled = jax.jit(fn)

@@ -164,6 +164,61 @@ def sweep_tables(scene: Scene):
     return sph, quad, ns, nq, ns_pad
 
 
+def sphere_cluster_order(scene: Scene, big_factor: float = 8.0):
+    """Spatial (Morton) sphere ordering so CLUSTER_SIZE-row groups of the
+    sweep table form *compact* blobs the frustum cull can reject.
+
+    Build order groups whole grid rows of the final scene into one
+    cluster: a 22-unit-long slab whose bounding sphere is as wide as the
+    scene, so no ray cone can ever cull it (measured: 31/31 clusters
+    executed per tile). This reorders the spheres:
+
+    * oversized spheres (radius > ``big_factor`` × median real radius,
+      e.g. the r=1000 ground sphere) come first in original order — their
+      bounds span the scene, so they get their own never-culled leading
+      cluster(s) instead of poisoning a spatial one;
+    * the rest are sorted by the Morton code of their swept-box center
+      (10 bits/axis over the small-sphere bounding box);
+    * padding entries (radius ≤ 0) stay last.
+
+    Returns a permutation ``perm`` with ``perm[new] = old`` (identity if
+    there is nothing to reorder), to be applied to every per-sphere scene
+    column before flattening. Winner *values* are unchanged — only the
+    tie-break order among exactly-equal hit distances moves, which the
+    kernel-equality tests already treat as measure-zero.
+    """
+    r = np.asarray(scene.spheres.radius)
+    n = r.shape[0]
+    perm = np.arange(n)
+    real = np.nonzero(r > 0)[0]
+    if len(real) < 2 * CLUSTER_SIZE:
+        return perm
+    rr = r[real]
+    med = float(np.median(rr))
+    big_mask = rr > big_factor * max(med, 1e-30)
+    big = real[big_mask]
+    small = real[~big_mask]
+    c = np.asarray(scene.spheres.center)[small]
+    v = np.asarray(scene.spheres.velocity)[small]
+    mid = c + 0.5 * v
+    lo = mid.min(axis=0)
+    span = np.maximum(mid.max(axis=0) - lo, 1e-30)
+    q = np.clip(((mid - lo) / span * 1023.0).astype(np.int64), 0, 1023)
+
+    def _spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    key = (_spread(q[:, 0]) | (_spread(q[:, 1]) << 1)
+           | (_spread(q[:, 2]) << 2))
+    order = np.argsort(key, kind="stable")
+    pad = np.nonzero(r <= 0)[0]
+    return np.concatenate([big, small[order], pad]).astype(np.int64)
+
+
 def sphere_cluster_boxes(sph_sweep: np.ndarray):
     """Swept AABBs of consecutive CLUSTER_SIZE-row groups of the sphere
     sweep table — the cull geometry for the block kernel's clustered sweep.

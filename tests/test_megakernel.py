@@ -60,10 +60,12 @@ class TestMegakernel:
         # checker + motion blur + metal + dielectric + BVH-scale scene
         _compare("bouncing_spheres", depth=5, mean_tol=2e-3)
 
-    def test_clustered_sweep_bitmatches_plain(self):
-        """The AABB cluster-culling sweep (use_clusters) must be invisible:
-        same per-primitive math in the same order, skipped clusters
-        provably cannot win → bit-identical radiance and segments."""
+    @pytest.mark.parametrize("mode", [True, "frustum", "list"])
+    def test_clustered_sweep_bitmatches_plain(self, mode):
+        """The cluster-culling sweeps (use_clusters: vector slab test and
+        scalar cone test) must be invisible: same per-primitive math in
+        the same order, skipped clusters provably cannot win →
+        bit-identical radiance and segments."""
         from raytracing_tpu.render import camera as cam_mod
 
         scene, cfg = build("bouncing_spheres", image_width=16,
@@ -83,9 +85,45 @@ class TestMegakernel:
         r_pl, s_pl = trace_megakernel(*args, interpret=True,
                                       use_clusters=False)
         r_cl, s_cl = trace_megakernel(*args, interpret=True,
-                                      use_clusters=True)
+                                      use_clusters=mode)
         np.testing.assert_array_equal(np.asarray(r_pl), np.asarray(r_cl))
         assert int(s_pl) == int(s_cl)
+
+    @pytest.mark.parametrize("name,phases,sort_mode", [
+        ("cornell_box", [2, 2, 2], "alive"),      # emissive: exercises the
+        ("cornell_box", [3, 3], "coherent"),      # radiance set-aside sum
+        ("bouncing_spheres", [2, 2, 2], "alive"),
+        ("bouncing_spheres", [2, 4], "coherent"),
+    ])
+    def test_phase_compaction_matches_single_phase(self, name, phases,
+                                                   sort_mode):
+        """Inter-phase compaction (slimmed unique-key sort, act re-derived
+        from the key, phase-1 radiance set aside and re-added after the
+        final unpermute) must be invisible: same decisions → same segments
+        exactly; radiance equal up to fp re-association of per-phase
+        partial sums."""
+        depth = sum(phases)
+        scene, cfg = build(name, image_width=16, samples_per_pixel=1,
+                           max_depth=depth)
+        mega = build_mega_scene(scene)
+        B = -(-cfg.n_pixels // BLOCK) * BLOCK
+        pix = jnp.minimum(jnp.arange(B, dtype=jnp.int32), cfg.n_pixels - 1)
+        smp = jnp.zeros(B, jnp.int32)
+        params = CameraParams.from_config(cfg)
+        derived = cam_mod.derive(cfg, params)
+        o, d, t = cam_mod.generate_rays(
+            cfg, derived, pix, smp, jnp.uint32(5),
+            motion_blur=scene.flags.has_moving,
+        )
+        args = (mega, o, d, t, pix, smp, cfg.background, depth,
+                jnp.uint32(5))
+        r_one, s_one = trace_megakernel(*args, interpret=True)
+        r_ph, s_ph = trace_megakernel(*args, interpret=True,
+                                      phase_depths=phases,
+                                      sort_mode=sort_mode)
+        assert int(s_one) == int(s_ph)
+        diff = np.abs(np.asarray(r_one) - np.asarray(r_ph))
+        assert diff.max() < 1e-5, f"max diff {diff.max()}"
 
 
 class TestInKernelBVH:
@@ -235,3 +273,28 @@ class TestInKernelBVH:
         # a handful of stochastic-coin flips (rsqrt rounding) are expected
         assert (diff.max(axis=-1) > 2e-2).mean() < 0.005
         assert diff.mean() < 1e-3
+
+    def test_renderer_phased_regen_matches_single_phase(self):
+        """Through the Renderer (which supplies the tm/pix/smp ``regen``
+        hook): phased compaction on a moving-sphere scene must reproduce
+        the single-phase render — the recomputed time column must be
+        bit-identical to the generate_rays stream."""
+        from raytracing_tpu.render.renderer import Renderer
+        import raytracing_tpu.ops.megakernel as mk
+        from functools import partial
+
+        scene, cfg = build("bouncing_spheres", image_width=24,
+                           samples_per_pixel=2, max_depth=8)
+        assert scene.flags.has_moving
+        orig = mk.trace_megakernel
+        try:
+            mk.trace_megakernel = partial(orig, interpret=True)
+            r1 = Renderer(cfg, hit_method="mega", phase_depths=[8])
+            one = r1.render(scene, seed=6)
+            r2 = Renderer(cfg, hit_method="mega", phase_depths=[2, 3, 3])
+            ph = r2.render(scene, seed=6)
+        finally:
+            mk.trace_megakernel = orig
+        assert one.segments == ph.segments
+        diff = np.abs(one.radiance - ph.radiance)
+        assert diff.max() < 1e-5, f"max diff {diff.max()}"
