@@ -28,6 +28,19 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log", default=None, help="JSONL log path")
     p.add_argument("--devices", type=int, default=0,
                    help="shard over N devices (0 = single-device renderer)")
+    p.add_argument("--phases", default=None,
+                   help="megakernel phase schedule, e.g. 2,3,15 "
+                        "(default: auto)")
+    p.add_argument("--ray-order", default="sample",
+                   choices=["sample", "pixel"],
+                   help="lane layout (pixel-major tightens per-tile cones)")
+    p.add_argument("--spp-chunk", type=int, default=None,
+                   help="samples per launch (with pixel-major layout)")
+    p.add_argument("--clusters", default=None,
+                   choices=["slab", "frustum", "list"],
+                   help="opt-in megakernel sphere-sweep cluster culling")
+    p.add_argument("--sort-regions", type=int, default=1,
+                   help="compaction sorts over N independent regions")
 
 
 def cmd_render(args) -> int:
@@ -63,7 +76,13 @@ def cmd_render(args) -> int:
             write_image(args.out, radiance)
             log.log("render_done", out=args.out, segments=segments, devices=args.devices)
         else:
-            r = Renderer(cfg, hit_method=args.hit, mode=args.mode)
+            phases = ([int(x) for x in args.phases.split(",")]
+                      if args.phases else None)
+            clusters = {"slab": True}.get(args.clusters, args.clusters)
+            r = Renderer(cfg, hit_method=args.hit, mode=args.mode,
+                         phase_depths=phases, ray_order=args.ray_order,
+                         spp_chunk=args.spp_chunk, use_clusters=clusters,
+                         sort_regions=args.sort_regions)
             resume = ckpt.load_render_state(args.checkpoint) if args.checkpoint else None
             cb = (lambda st: ckpt.save_render_state(args.checkpoint, st)) if args.checkpoint else None
             res = r.render(scene, seed=args.seed, progress=True,

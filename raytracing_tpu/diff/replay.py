@@ -328,12 +328,17 @@ def render_replay_fast(
     if ids is None:
         # mega's tables are host-built constants (no gradient path); the
         # rays are stop-graded so jax.grad never transposes the kernel
+        from ..ops.megakernel import make_regen
+
         sg = jax.lax.stop_gradient
         _, _, ids = trace_megakernel(
             mega, sg(o), sg(d), sg(t), pixel_ids, sample_ids,
             cfg.background, cfg.max_depth, jnp.uint32(seed),
             interpret=interpret, phase_depths=phase_depths, active0=active0,
             want_ids=True,
+            regen=make_regen(n_pix, npix_pad, spp, jnp.int32(0),
+                             jnp.int32(sample_start), jnp.uint32(seed),
+                             scene.flags.has_moving),
         )
     radiance, segments = replay_trace(
         scene, ids, o, d, t, pixel_ids, sample_ids, bg,

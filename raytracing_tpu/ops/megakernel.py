@@ -1032,6 +1032,36 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
     return run
 
 
+def make_regen(n_pixels, n_block, spp_chunk, pixel_start, sample_start,
+               seed, has_moving, ray_order: str = "sample"):
+    """Build the ``regen`` hook for ``trace_megakernel``: recompute the
+    tm/pix/smp columns from the compaction permutation (they are pure
+    functions of the original ray index) instead of carrying them through
+    every boundary sort. The formulas mirror the renderer's lane layouts
+    ("sample" = sample-major tiling, "pixel" = pixel-major repeat); the
+    time column replays the generate_rays STREAM_TIME draw bit-exactly.
+    """
+    from ..core import rng as rng_mod
+
+    def regen(perm):
+        if ray_order == "pixel":
+            blk = perm // spp_chunk
+            smp = sample_start + perm % spp_chunk
+        else:
+            blk = perm % n_block
+            smp = sample_start + perm // n_block
+        pix = jnp.minimum(pixel_start + blk, n_pixels - 1)
+        if has_moving:
+            tm = rng_mod.uniform4(
+                pix, smp, jnp.uint32(rng_mod.STREAM_TIME), seed
+            )[:, 0]
+        else:
+            tm = jnp.zeros(perm.shape, jnp.float32)
+        return tm, pix, smp
+
+    return regen
+
+
 def trace_megakernel(
     mega: MegaScene,
     o: jnp.ndarray,
@@ -1052,6 +1082,7 @@ def trace_megakernel(
     want_ids: bool = False,     # also return per-bounce winner ids
     use_clusters: bool | None = None,  # block kernel AABB cluster culling
     regen=None,  # (perm (B,) i32) -> (tm, pix, smp): recompute instead of sort
+    sort_regions: int = 1,  # compact within R independent regions (batched sort)
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -1060,6 +1091,14 @@ def trace_megakernel(
     rays are stably sorted dead-last, so later phases run straggler bounces
     at full lane occupancy and fully-dead groups exit after one loop check.
     Default: one phase (no sort) — best for shallow depths.
+
+    ``regen``: optional ``perm -> (tm, pix, smp)`` hook (see
+    ``make_regen``) that recomputes those columns from the compaction
+    permutation instead of carrying them through every boundary sort —
+    they are pure functions of the original ray index. ``sort_regions``:
+    compact within R independent contiguous lane regions (one batched
+    sort) instead of globally; regions align to 1024-ray blocks so at
+    most one partial block per region survives uncompacted.
 
     ``layout`` selects the kernel: ``"block"`` = (8,128) ray tiles with the
     SMEM-scalar sweep (ops/megakernel_block.py — the fast dense path),
@@ -1249,7 +1288,24 @@ def trace_megakernel(
                 # more 4-byte columns through the sort
                 names = [k for k in names if k not in ("tm", "pix", "smp")]
             ops = [key] + [state[k].reshape(B) for k in names] + [perm]
-            sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=stable)
+            if sort_regions > 1:
+                # regional compaction: R independent sorts of contiguous
+                # B/R-lane regions (sorted along the minor axis, batched
+                # over regions). Alive rays pack within their own region
+                # instead of globally — at most one partial 1024-ray
+                # sub-block per region survives uncompacted, a negligible
+                # occupancy loss — and each sort is over a much shorter
+                # span. The key embeds the GLOBAL lane index, which is
+                # monotone within a region, so per-region order matches
+                # the global partition restricted to the region.
+                assert B % sort_regions == 0
+                L = B // sort_regions
+                assert L % BLOCK == 0, "regions must align to ray blocks"
+                ops = [x.reshape(sort_regions, L) for x in ops]
+                sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=stable)
+                sorted_ops = [x.reshape(B) for x in sorted_ops]
+            else:
+                sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=stable)
             for k, v in zip(names, sorted_ops[1:1 + len(names)]):
                 state[k] = v.reshape(rows, TILE)
             if sort_mode == "coherent":
@@ -1272,11 +1328,21 @@ def trace_megakernel(
 
     # undo the composed permutation: one more fused sort keyed on the
     # original ray index restores camera order, then the set-aside
-    # phase-1 radiance (already in camera order) is added back
+    # phase-1 radiance (already in camera order) is added back. With
+    # regional compaction every boundary permuted only within regions, so
+    # the restore can be regional too (perm values of region r all lie in
+    # region r's index range).
     if len(phase_depths) > 1:
-        _, rr, rg, rb = jax.lax.sort(
-            [perm, state["rr"].reshape(B), state["rg"].reshape(B),
-             state["rb"].reshape(B)], num_keys=1, is_stable=False)
+        un_ops = [perm, state["rr"].reshape(B), state["rg"].reshape(B),
+                  state["rb"].reshape(B)]
+        if sort_regions > 1:
+            L = B // sort_regions
+            un_ops = [x.reshape(sort_regions, L) for x in un_ops]
+            out = jax.lax.sort(un_ops, num_keys=1, is_stable=False)
+            _, rr, rg, rb = [x.reshape(B) for x in out]
+        else:
+            _, rr, rg, rb = jax.lax.sort(
+                un_ops, num_keys=1, is_stable=False)
         rr = rr + rad0[0].reshape(B)
         rg = rg + rad0[1].reshape(B)
         rb = rb + rad0[2].reshape(B)

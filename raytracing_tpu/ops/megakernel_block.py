@@ -134,8 +134,12 @@ def make_megakernel_block(mega, *, max_depth: int, background,
     ``b·S + s·8`` — an 8-aligned dynamic sublane store, which Mosaic
     supports inside the bounce ``while_loop``.
     """
+    import numpy as np
+
     n_sph = mega.n_sph
     n_quad = mega.n_quad
+    # static-scene fast path: skip the per-sphere motion ops entirely
+    moving = bool(np.any(np.asarray(mega.sph_sweep)[:, 3:6] != 0.0))
     n_sph_rows = mega.sph_sweep.shape[0]
     n_quad_rows = mega.quad_sweep.shape[0]
     ns_pad = mega.n_sph_pad
@@ -242,9 +246,16 @@ def make_megakernel_block(mega, *, max_depth: int, background,
 
             def sph_body(j, carry):
                 tb, ib = carry
-                cx = sph_ref[j, 0] + tmv * sph_ref[j, 3]
-                cy = sph_ref[j, 1] + tmv * sph_ref[j, 4]
-                cz = sph_ref[j, 2] + tmv * sph_ref[j, 5]
+                if moving:
+                    cx = sph_ref[j, 0] + tmv * sph_ref[j, 3]
+                    cy = sph_ref[j, 1] + tmv * sph_ref[j, 4]
+                    cz = sph_ref[j, 2] + tmv * sph_ref[j, 5]
+                else:
+                    # no moving spheres in this scene: skip the 6 motion
+                    # ops (≈15% of the sweep body)
+                    cx = sph_ref[j, 0] + zero
+                    cy = sph_ref[j, 1] + zero
+                    cz = sph_ref[j, 2] + zero
                 rsq = sph_ref[j, 6]
                 ocx = ox - cx
                 ocy = oy - cy
@@ -252,11 +263,14 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                 half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
                 cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rsq
                 disc = half_b * half_b - a * cq
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                # no max(disc, 0) / disc >= 0 guard: sqrt(negative) = NaN,
+                # NaN roots compare false below (IEEE), so misses reject
+                # themselves — identical winners, 3 fewer vector ops
+                sq = jnp.sqrt(disc)
                 root0 = (-half_b - sq) * inv_a
                 root1 = (-half_b + sq) * inv_a
                 root = jnp.where(root0 > tmin, root0, root1)
-                imp = (disc >= 0.0) & (root > tmin) & (root < tb)
+                imp = (root > tmin) & (root < tb)
                 tb = jnp.where(imp, root, tb)
                 ib = jnp.where(imp, zero + j.astype(jnp.float32), ib)
                 return tb, ib

@@ -65,9 +65,30 @@ def render_sharded_distributed(
     *,
     hit_method: str = "brute",
     mode: str = "scan",
+    sample_chunk: Optional[int] = None,
+    checkpoint: Optional[str] = None,
+    chunk_cb=None,
 ):
     """Multi-process sharded render → ((H, W, 3) mean radiance replicated on
-    every process, total segments)."""
+    every process, total segments).
+
+    ``sample_chunk``: render the spp budget in windows of this many
+    samples per pixel, accumulating on the host between windows — the
+    failure-recovery unit for multi-host renders. After each completed
+    window, process 0 writes ``checkpoint`` (atomic npz: sample-sum so
+    far, segments, next window start); if the file exists on entry, all
+    processes resume from its recorded window (the checkpoint path must
+    be readable by every process that restarts — in production a shared
+    filesystem, in tests a shared tmpdir). Any process dying mid-window
+    stalls the others' collectives; the launcher kills and relaunches the
+    job, which replays only the remaining windows — RNG sample ids are
+    global, so the resumed render is identical to an uninterrupted one
+    (tests/test_multihost.py kill-recovery test). ``chunk_cb(k)`` (when
+    set) runs on every process after window ``k`` completes — test hook
+    for fault injection. For sp-sharded meshes, prefer windows that are
+    multiples of ``spp / n_sp`` (other windows are correct but leave sp
+    shards partially idle).
+    """
     fn, scene_prep, n_pix_pad = build_sharded_renderer(
         scene, cfg, mesh, hit_method=hit_method, mode=mode
     )
@@ -83,10 +104,39 @@ def render_sharded_distributed(
     )
     seed_g = _replicate(jnp.uint32(seed), mesh)
 
-    part, segments = fn(scene_g, params_g, pixel_ids, seed_g)
-
     from jax.experimental import multihost_utils
 
-    part_full = multihost_utils.process_allgather(part, tiled=True)
-    mean = np.asarray(part_full)[: cfg.n_pixels] / cfg.samples_per_pixel
-    return mean.reshape(cfg.image_height, cfg.image_width, 3), int(segments)
+    spp = cfg.samples_per_pixel
+    if sample_chunk is None:
+        windows = [(0, spp)]
+    else:
+        windows = [(s, min(s + sample_chunk, spp))
+                   for s in range(0, spp, sample_chunk)]
+
+    import os
+
+    acc = np.zeros((n_pix_pad, 3), np.float32)
+    seg_total = 0
+    start_k = 0
+    if checkpoint and os.path.exists(checkpoint):
+        with np.load(checkpoint) as ck:
+            acc = ck["acc"]
+            seg_total = int(ck["segments"])
+            start_k = int(ck["next_window"])
+
+    for k in range(start_k, len(windows)):
+        lo, hi = windows[k]
+        part, segments = fn(scene_g, params_g, pixel_ids, seed_g,
+                            jnp.asarray([lo, hi], jnp.int32))
+        part_full = multihost_utils.process_allgather(part, tiled=True)
+        acc = acc + np.asarray(part_full)
+        seg_total += int(segments)
+        if checkpoint and jax.process_index() == 0:
+            tmp = checkpoint + ".tmp.npz"  # np.savez appends .npz itself
+            np.savez(tmp, acc=acc, segments=seg_total, next_window=k + 1)
+            os.replace(tmp, checkpoint)
+        if chunk_cb is not None:
+            chunk_cb(k)
+
+    mean = acc[: cfg.n_pixels] / cfg.samples_per_pixel
+    return mean.reshape(cfg.image_height, cfg.image_width, 3), seg_total

@@ -39,6 +39,7 @@ def _device_render(
     params: CameraParams,
     pixel_ids: jnp.ndarray,  # (P_local,) this chip's pixels
     seed: jnp.ndarray,
+    sample_range: jnp.ndarray,  # (2,) i32 [start, stop) of global samples
     *,
     cfg: CameraConfig,
     spp_local: int,
@@ -49,9 +50,12 @@ def _device_render(
     mode: str,
     grad_psum_axes: tuple = (),
 ):
-    sample0 = jnp.int32(0)
+    # global sample window [start, stop): checkpoint/resume renders a
+    # sub-range of samples per call (RNG ids are global, so any chunking
+    # reproduces the same per-sample paths)
+    sample0 = sample_range[0]
     if sp_axis is not None:
-        sample0 = jax.lax.axis_index(sp_axis).astype(jnp.int32) * spp_local
+        sample0 = sample0 + jax.lax.axis_index(sp_axis).astype(jnp.int32) * spp_local
     p_local = pixel_ids.shape[0]
     # pixel_ids arrive unclamped so dp-padding pixels can start dead (they
     # neither trace nor count); clamp only for ray generation / RNG identity.
@@ -59,7 +63,7 @@ def _device_render(
     pixel_ids = jnp.minimum(pixel_ids, cfg.n_pixels - 1)
     pix = jnp.tile(pixel_ids, spp_local)
     samp = sample0 + jnp.repeat(jnp.arange(spp_local, dtype=jnp.int32), p_local)
-    active0 = jnp.tile(pix_valid, spp_local) & (samp < cfg.samples_per_pixel)
+    active0 = jnp.tile(pix_valid, spp_local) & (samp < sample_range[1])
 
     derived = cam_mod.derive(cfg, params)
     o, d, t = cam_mod.generate_rays(
@@ -134,8 +138,12 @@ def build_sharded_renderer(
     compute instead of trailing it.
 
     Returns ``(fn, scene_prepared)`` where
-    ``fn(scene_prepared, params, seed) -> (radiance (n_pix_pad, 3) sample-sum,
-    segments)`` and pixels are sharded over ``dp``.
+    ``fn(scene_prepared, params, pixel_ids, seed, sample_range=None) ->
+    (radiance (n_pix_pad, 3) sample-sum, segments)`` and pixels are
+    sharded over ``dp``. ``sample_range`` = (2,) i32 ``[start, stop)``
+    global sample window (default: the full spp) — chunked calls over
+    disjoint windows sum to the full render bit-for-bit per sample
+    (global RNG ids), the checkpoint/resume unit for distributed renders.
     """
     axis_names = mesh.axis_names
     dp = "dp" if "dp" in axis_names else None
@@ -175,11 +183,20 @@ def build_sharded_renderer(
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(scene_spec, params_spec, P(dp), P()),
+        in_specs=(scene_spec, params_spec, P(dp), P(), P()),
         out_specs=(P(dp), P()),
         check_vma=False,
     )
-    return jax.jit(fn), scene, n_pix_pad
+    jfn = jax.jit(fn)
+
+    def call(scene_a, params_a, pixel_ids_a, seed_a, sample_range=None):
+        if sample_range is None:
+            sample_range = jnp.asarray(
+                [0, cfg.samples_per_pixel], jnp.int32)
+        return jfn(scene_a, params_a, pixel_ids_a, seed_a,
+                   jnp.asarray(sample_range, jnp.int32))
+
+    return call, scene, n_pix_pad
 
 
 def render_sharded(

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import rng as rng_mod
 from ..core.color import to_u8_image
 from ..ops.intersect import closest_hit_brute
 from ..scene.types import Scene
@@ -69,6 +68,7 @@ def _render_chunk(
     sort_mode: str = "alive",   # megakernel inter-phase compaction mode
     use_clusters=None,          # megakernel sphere-sweep AABB culling
     ray_order: str = "sample",  # lane layout: "sample" | "pixel" (see below)
+    sort_regions: int = 1,      # regional compaction sorts (megakernel)
 ):
     """One launch: n_block contiguous pixels × spp_chunk samples.
     Returns (block radiance *sum* over the chunk's samples (n_block, 3),
@@ -115,30 +115,21 @@ def _render_chunk(
         if phases is None and cfg.max_depth > 6:
             phases = [2, 3, cfg.max_depth - 5]
 
-        def regen(perm):
-            # tm/pix/smp are pure functions of the original ray index:
-            # rebuild them after each compaction instead of sorting three
-            # more state columns (bit-identical to the generate_rays
-            # stream — same (pixel, sample, seed) RNG keys)
-            if ray_order == "pixel":
-                blk = perm // spp_chunk
-                smp_r = sample_start + perm % spp_chunk
-            else:
-                blk = perm % n_block
-                smp_r = sample_start + perm // n_block
-            pix_r = jnp.minimum(pixel_start + blk, cfg.n_pixels - 1)
-            if scene.flags.has_moving:
-                tm_r = rng_mod.uniform4(
-                    pix_r, smp_r, jnp.uint32(rng_mod.STREAM_TIME), seed
-                )[:, 0]
-            else:
-                tm_r = jnp.zeros(perm.shape, jnp.float32)
-            return tm_r, pix_r, smp_r
+        # tm/pix/smp are pure functions of the original ray index: rebuild
+        # them after each compaction instead of sorting three more state
+        # columns (bit-identical to the generate_rays stream — same
+        # (pixel, sample, seed) RNG keys)
+        from ..ops.megakernel import make_regen
+
+        regen = make_regen(cfg.n_pixels, n_block, spp_chunk, pixel_start,
+                           sample_start, seed, scene.flags.has_moving,
+                           ray_order)
 
         radiance, segments = trace_megakernel(
             mega, o, d, t, pixel_ids, sample_ids, cfg.background,
             cfg.max_depth, seed, phase_depths=phases, active0=valid0,
             sort_mode=sort_mode, use_clusters=use_clusters, regen=regen,
+            sort_regions=sort_regions,
         )
     else:
         radiance, segments = trace(
@@ -182,6 +173,7 @@ class Renderer:
         use_clusters=None,
         ray_order: str = "sample",
         spp_chunk: int | None = None,
+        sort_regions: int = 1,
     ):
         self.cfg = cfg
         self.hit_method = hit_method
@@ -191,6 +183,7 @@ class Renderer:
         self.sort_mode = sort_mode
         self.use_clusters = use_clusters
         self.ray_order = ray_order
+        self.sort_regions = sort_regions
         # whole-render single-dispatch mode (see render()); falls back to
         # the per-chunk loop when progress/checkpointing needs host control
         self.fused = fused
@@ -279,6 +272,7 @@ class Renderer:
                 sort_mode=self.sort_mode,
                 use_clusters=self.use_clusters,
                 ray_order=self.ray_order,
+                sort_regions=self.sort_regions,
             )
             self._chunk_fn = fn
             self._compiled = jax.jit(fn)

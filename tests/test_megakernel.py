@@ -125,6 +125,31 @@ class TestMegakernel:
         diff = np.abs(np.asarray(r_one) - np.asarray(r_ph))
         assert diff.max() < 1e-5, f"max diff {diff.max()}"
 
+    def test_regional_compaction_matches_global(self):
+        """sort_regions=R compacts within R independent lane regions;
+        rays are independent, so per-ray radiance and segment counts are
+        bit-identical to the global sort."""
+        scene, cfg = build("bouncing_spheres", image_width=16,
+                           samples_per_pixel=1, max_depth=8)
+        mega = build_mega_scene(scene)
+        B = -(-cfg.n_pixels // BLOCK) * BLOCK
+        pix = jnp.minimum(jnp.arange(B, dtype=jnp.int32), cfg.n_pixels - 1)
+        smp = jnp.zeros(B, jnp.int32)
+        params = CameraParams.from_config(cfg)
+        derived = cam_mod.derive(cfg, params)
+        o, d, t = cam_mod.generate_rays(
+            cfg, derived, pix, smp, jnp.uint32(5),
+            motion_blur=scene.flags.has_moving,
+        )
+        args = (mega, o, d, t, pix, smp, cfg.background, 8, jnp.uint32(5))
+        r_g, s_g = trace_megakernel(*args, interpret=True,
+                                    phase_depths=[2, 3, 3])
+        r_r, s_r = trace_megakernel(*args, interpret=True,
+                                    phase_depths=[2, 3, 3],
+                                    sort_regions=B // BLOCK)
+        assert int(s_g) == int(s_r)
+        np.testing.assert_array_equal(np.asarray(r_g), np.asarray(r_r))
+
 
 class TestInKernelBVH:
     """The stackless chunked-BVH walk inside the megakernel

@@ -64,3 +64,43 @@ def test_megakernel_matches_xla_on_hardware(name):
     diff = np.abs(np.asarray(r_ref) - np.asarray(r_mk))
     assert diff.mean() < 2e-3, f"{name}: mean diff {diff.mean()}"
     assert abs(int(s_ref) - int(s_mk)) <= max(4, int(s_ref) // 200), name
+
+
+@pytest.mark.parametrize("kw", [
+    dict(phase_depths=[2, 3, 3]),
+    dict(phase_depths=[2, 3, 3], sort_regions=2),
+    dict(phase_depths=[2, 6], sort_mode="coherent"),
+    dict(use_clusters="list"),
+])
+def test_phased_compaction_on_hardware(kw):
+    """Compiled phased compaction (slimmed TPU sorts, regional variant,
+    coherent keys, survivor-list sweep) vs the single-phase kernel on the
+    real chip: segments must match exactly, radiance to fp re-association.
+    The compaction path is pure XLA so CPU CI covers its semantics; this
+    guards the TPU sort/Mosaic lowering specifically."""
+    import jax.numpy as jnp
+
+    from raytracing_tpu.models.scenes import build
+    from raytracing_tpu.ops.megakernel import BLOCK, build_mega_scene, trace_megakernel
+    from raytracing_tpu.render import camera as cam_mod
+    from raytracing_tpu.render.camera import CameraParams
+
+    depth = 8
+    scene, cfg = build("bouncing_spheres", image_width=32,
+                       samples_per_pixel=1, max_depth=depth)
+    mega = build_mega_scene(scene)
+    params = CameraParams.from_config(cfg)
+    derived = cam_mod.derive(cfg, params)
+    B = 2 * BLOCK
+    pix = jnp.minimum(jnp.arange(B, dtype=jnp.int32), cfg.n_pixels - 1)
+    smp = jnp.zeros(B, jnp.int32)
+    o, d, t = cam_mod.generate_rays(
+        cfg, derived, pix, smp, jnp.uint32(3),
+        motion_blur=scene.flags.has_moving,
+    )
+    args = (mega, o, d, t, pix, smp, cfg.background, depth, jnp.uint32(3))
+    r_one, s_one = jax.jit(lambda: trace_megakernel(*args))()
+    r_ph, s_ph = jax.jit(lambda: trace_megakernel(*args, **kw))()
+    assert int(s_one) == int(s_ph), kw
+    diff = np.abs(np.asarray(r_one) - np.asarray(r_ph))
+    assert diff.max() < 1e-5, f"{kw}: max diff {diff.max()}"
