@@ -94,22 +94,132 @@ def closest_hit_scene_sharded(
     )
 
 
-def shard_scene_primitives(scene: Scene, ntp: int) -> Scene:
+def closest_hit_scene_sharded_bvh(
+    scene_local: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    time: jnp.ndarray,
+    t_min: float = T_MIN,
+    *,
+    axis: str = "tp",
+) -> HitBatch:
+    """Sharded closest hit where each chip traverses its OWN BVH subtree
+    over its primitive range (``shard_scene_primitives(..., use_bvh=True)``)
+    — the "scene too large to replicate" scaling mode: per-chip memory AND
+    per-ray intersection cost are O(P/ntp) with a log-factor traversal,
+    while the winner reduction is the same psum-min contract as the
+    brute-force variant above (bvh_node.hpp:80-95 semantics per shard,
+    hittable_list.hpp:40-64 "closest so far" across shards via pmin)."""
+    from ..ops.traverse import closest_hit_bvh
+
+    idx = jax.lax.axis_index(axis)
+    ntp = jax.lax.psum(1, axis)
+    ns_local = scene_local.n_spheres
+    nq_local = scene_local.n_quads
+    ns_total = ns_local * ntp
+
+    hit_local = closest_hit_bvh(scene_local, o, d, time, t_min)
+    local_t_sg = jax.lax.stop_gradient(
+        jnp.where(hit_local.valid, hit_local.t, BIG)
+    )
+    t_glob = jax.lax.pmin(local_t_sg, axis)
+    pid = hit_local.prim_id
+    local_is_quad = pid >= ns_local
+    global_id = jnp.where(
+        local_is_quad,
+        ns_total + idx * nq_local + (pid - ns_local),
+        idx * ns_local + pid,
+    )
+    candidate = jnp.where(
+        hit_local.valid & (local_t_sg == t_glob), global_id, _INT_MAX
+    )
+    gid = jax.lax.pmin(candidate, axis)
+    i_win = (candidate == gid) & (gid != _INT_MAX)
+
+    def _mask_sum(x):
+        masked = jnp.where(
+            i_win[(...,) + (None,) * (x.ndim - 1)], x, jnp.zeros_like(x)
+        )
+        return jax.lax.psum(
+            masked.astype(jnp.float32) if x.dtype == bool else masked, axis
+        )
+
+    valid = jax.lax.psum(jnp.where(i_win, 1, 0), axis) > 0
+    return HitBatch(
+        valid=valid,
+        t=jnp.where(
+            valid, jax.lax.psum(jnp.where(i_win, hit_local.t, 0.0), axis), BIG
+        ),
+        p=_mask_sum(hit_local.p),
+        normal=_mask_sum(hit_local.normal),
+        front_face=_mask_sum(hit_local.front_face) > 0,
+        u=_mask_sum(hit_local.u),
+        v=_mask_sum(hit_local.v),
+        mat_id=jax.lax.psum(jnp.where(i_win, hit_local.mat_id, 0), axis),
+        prim_id=jnp.where(valid, gid, -1),
+    )
+
+
+def shard_scene_primitives(scene: Scene, ntp: int, use_bvh: bool = False) -> Scene:
     """Host-side: pad primitive tables so their leading dim divides ``ntp``
     (the actual sharding is applied by shard_map in_specs).
 
-    Scaling note: the sharded closest hit is brute-force over each chip's
-    primitive range (``bvh=None`` below) — per-chip cost O(P/ntp) per ray,
-    which is the right trade at reference scene sizes (~500 primitives)
-    where a per-shard BVH's traversal overhead exceeds the sweep. For the
-    "scene too large to replicate" regime this mode exists for (SURVEY.md
-    §5), the upgrade path is sharding BVH *subtrees*: split the host tree
-    at depth log2(ntp), give each chip one subtree (its own skip-link
-    array) and keep the same psum-min winner reduction — the reduction
-    contract here does not change. Not yet implemented; brute-force keeps
-    per-chip cost exact and the collective layer fully exercised.
+    ``use_bvh=False``: the sharded closest hit is brute-force over each
+    chip's primitive range (``bvh=None``) — per-chip cost O(P/ntp) per
+    ray, the right trade at reference scene sizes (~500 primitives) where
+    per-shard traversal overhead exceeds the sweep.
+
+    ``use_bvh=True`` (the "scene too large to replicate" regime,
+    SURVEY.md §5): primitives are first ordered spatially (Morton code of
+    their swept-AABB centers, per type) so each chip's contiguous range
+    is a compact region, then ntp independent skip-link BVHs are built —
+    one per shard, node arrays padded to a common length and stacked on a
+    leading axis that shard_map splits over ``tp``. Each chip walks only
+    its own subtree (ops/traverse.py); the psum-min winner reduction
+    (closest_hit_scene_sharded_bvh) is unchanged. Spatial reordering
+    changes only the deterministic tie-break order among exactly-equal
+    hit distances.
     """
     import numpy as np
+
+    from ..ops import bvh as bvh_mod
+    from ..scene.types import BVH
+
+    def _morton_order(mn, mx):
+        if len(mn) == 0:
+            return np.arange(0)
+        mid = (np.asarray(mn) + np.asarray(mx)) / 2
+        lo = mid.min(axis=0)
+        span = np.maximum(mid.max(axis=0) - lo, 1e-30)
+        q = np.clip(((mid - lo) / span * 1023.0).astype(np.int64), 0, 1023)
+
+        def spread(x):
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        key = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+        return np.argsort(key, kind="stable")
+
+    sph = scene.spheres
+    qd = scene.quads
+    if use_bvh:
+        smin, smax = bvh_mod.primitive_bounds(
+            np.asarray(sph.center), np.asarray(sph.velocity),
+            np.asarray(sph.radius), np.zeros((0, 3), np.float32),
+            np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+        )
+        sperm = _morton_order(smin, smax)
+        qb_min, qb_max = bvh_mod.primitive_bounds(
+            np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+            np.zeros((0,), np.float32), np.asarray(qd.q),
+            np.asarray(qd.u), np.asarray(qd.v),
+        )
+        qperm = _morton_order(qb_min, qb_max)
+        sph = jax.tree_util.tree_map(lambda a: a[np.asarray(sperm)], sph)
+        qd = jax.tree_util.tree_map(lambda a: a[np.asarray(qperm)], qd)
 
     def pad_rows(arr, mult):
         n = arr.shape[0]
@@ -119,20 +229,54 @@ def shard_scene_primitives(scene: Scene, ntp: int) -> Scene:
         pad = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
         return jnp.asarray(np.pad(np.asarray(arr), pad))
 
-    sph = scene.spheres
-    qd = scene.quads
-    return scene.replace(
-        spheres=sph.replace(
-            center=pad_rows(sph.center, ntp),
-            velocity=pad_rows(sph.velocity, ntp),
-            radius=pad_rows(sph.radius, ntp),
-            mat_id=pad_rows(sph.mat_id, ntp),
-        ),
-        quads=qd.replace(
-            q=pad_rows(qd.q, ntp),
-            u=pad_rows(qd.u, ntp),
-            v=pad_rows(qd.v, ntp),
-            mat_id=pad_rows(qd.mat_id, ntp),
-        ),
-        bvh=None,  # brute-force sharded intersection; BVH stays per-chip mode
+    sph = sph.replace(
+        center=pad_rows(sph.center, ntp),
+        velocity=pad_rows(sph.velocity, ntp),
+        radius=pad_rows(sph.radius, ntp),
+        mat_id=pad_rows(sph.mat_id, ntp),
     )
+    qd = qd.replace(
+        q=pad_rows(qd.q, ntp),
+        u=pad_rows(qd.u, ntp),
+        v=pad_rows(qd.v, ntp),
+        mat_id=pad_rows(qd.mat_id, ntp),
+    )
+
+    bvh = None
+    if use_bvh:
+        ns_local = sph.radius.shape[0] // ntp
+        nq_local = qd.mat_id.shape[0] // ntp
+        flats = []
+        for k in range(ntp):
+            ss = slice(k * ns_local, (k + 1) * ns_local)
+            qs = slice(k * nq_local, (k + 1) * nq_local)
+            flats.append(bvh_mod.build_bvh(
+                np.asarray(sph.center[ss]), np.asarray(sph.velocity[ss]),
+                np.asarray(sph.radius[ss]), np.asarray(qd.q[qs]),
+                np.asarray(qd.u[qs]), np.asarray(qd.v[qs]),
+                quad_id_offset=ns_local,
+            ))
+        kmax = max(f.prim.shape[0] for f in flats)
+
+        def pad_nodes(f):
+            padn = kmax - f.prim.shape[0]
+            # pad nodes are unreachable (no link points past the real
+            # tree); give them empty boxes and terminating links anyway
+            return (
+                np.pad(f.bbox_min, ((0, padn), (0, 0)),
+                       constant_values=3.0e38),
+                np.pad(f.bbox_max, ((0, padn), (0, 0)),
+                       constant_values=-3.0e38),
+                np.pad(f.prim, (0, padn), constant_values=-1),
+                np.pad(f.miss, (0, padn), constant_values=-1),
+            )
+
+        parts = [pad_nodes(f) for f in flats]
+        bvh = BVH(
+            bbox_min=jnp.asarray(np.concatenate([p[0] for p in parts])),
+            bbox_max=jnp.asarray(np.concatenate([p[1] for p in parts])),
+            prim=jnp.asarray(np.concatenate([p[2] for p in parts])),
+            miss=jnp.asarray(np.concatenate([p[3] for p in parts])),
+        )
+
+    return scene.replace(spheres=sph, quads=qd, bvh=bvh)

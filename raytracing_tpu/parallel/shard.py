@@ -75,6 +75,10 @@ def _device_render(
             from .ring import closest_hit_ring
 
             hit_fn = partial(closest_hit_ring, axis=tp_axis)
+        elif hit_method == "bvh":
+            from .scene_shard import closest_hit_scene_sharded_bvh
+
+            hit_fn = partial(closest_hit_scene_sharded_bvh, axis=tp_axis)
         else:
             hit_fn = partial(closest_hit_scene_sharded, axis=tp_axis)
     elif hit_method == "bvh":
@@ -155,7 +159,8 @@ def build_sharded_renderer(
     nsp = mesh.shape.get(sp, 1) if sp else 1
 
     if tp:
-        scene = shard_scene_primitives(scene, ntp)
+        scene = shard_scene_primitives(scene, ntp,
+                                       use_bvh=(hit_method == "bvh"))
 
     spp_local = -(-cfg.samples_per_pixel // nsp)
     n_pix_pad = -(-cfg.n_pixels // ndp) * ndp
@@ -163,10 +168,14 @@ def build_sharded_renderer(
     # PartitionSpec pytrees
     scene_spec = jax.tree.map(lambda _: P(), scene)
     if tp:
-        scene_spec = scene_spec.replace(
+        repl = dict(
             spheres=jax.tree.map(lambda _: P(tp), scene.spheres),
             quads=jax.tree.map(lambda _: P(tp), scene.quads),
         )
+        if scene.bvh is not None:
+            # per-shard subtree node arrays stacked on the leading axis
+            repl["bvh"] = jax.tree.map(lambda _: P(tp), scene.bvh)
+        scene_spec = scene_spec.replace(**repl)
     params_spec = jax.tree.map(lambda _: P(), CameraParams.from_config(cfg))
 
     body = partial(
