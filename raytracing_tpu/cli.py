@@ -71,7 +71,8 @@ def cmd_render(args) -> int:
             mesh = make_mesh((args.devices,), ("dp",))
             radiance, segments = render_sharded(
                 scene, cfg, mesh, seed=args.seed,
-                hit_method="bvh" if args.hit == "bvh" else "brute",
+                hit_method=(args.hit if args.hit in ("bvh", "mega")
+                            else "brute"),
             )
             write_image(args.out, radiance)
             log.log("render_done", out=args.out, segments=segments, devices=args.devices)

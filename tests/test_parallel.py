@@ -84,6 +84,40 @@ class TestShardInvariance:
         # batch sweep and the per-winner recompute) at this size
         assert (diff > 1e-4).mean() < 0.01, f"outliers {(diff > 1e-4).mean()}"
 
+    def test_megakernel_under_dp(self):
+        """hit_method='mega': each dp shard runs the Pallas megakernel
+        (interpret mode on CPU) on its own ray block; global RNG ids make
+        the result match the single-device megakernel render exactly (up
+        to the per-pixel sample-sum association)."""
+        from functools import partial
+
+        import raytracing_tpu.ops.megakernel as mk
+        from raytracing_tpu.parallel.shard import build_sharded_renderer
+        from raytracing_tpu.render.camera import CameraParams
+        from raytracing_tpu.render.renderer import render
+
+        scene, cfg = build("three_spheres", image_width=48,
+                           samples_per_pixel=4, max_depth=5)
+        mesh = make_mesh((8,), ("dp",))
+        fn, scene_prep, n_pix_pad = build_sharded_renderer(
+            scene, cfg, mesh, hit_method="mega", mega_interpret=True
+        )
+        pix = jnp.arange(n_pix_pad, dtype=jnp.int32)
+        part, segs = fn(scene_prep, CameraParams.from_config(cfg), pix,
+                        jnp.uint32(5))
+        img = (np.asarray(part)[: cfg.n_pixels]
+               / cfg.samples_per_pixel).reshape(
+                   cfg.image_height, cfg.image_width, 3)
+
+        orig = mk.trace_megakernel
+        try:
+            mk.trace_megakernel = partial(orig, interpret=True)
+            ref = render(scene, cfg, seed=5, hit_method="mega")
+        finally:
+            mk.trace_megakernel = orig
+        assert int(segs) == ref.segments
+        np.testing.assert_allclose(img, ref.radiance, rtol=0, atol=1e-6)
+
     def test_bvh_hit_under_dp(self, reference_image):
         scene, cfg = build("three_spheres", image_width=64, samples_per_pixel=8,
                            max_depth=5, use_bvh=True)
