@@ -120,6 +120,36 @@ class TestGeometryGrads:
         _fd_check(loss, scene.quads.q, eps=1e-3,
                   components=[(0, 0), (0, 1), (0, 2)])
 
+    def test_quad_uv_edge_vectors(self):
+        """u/v edge-vector gradients (quad.hpp:8-126 basis): stretching an
+        edge rescales (α, β) → the bilinear image value. Same ramp-quad
+        scene as test_quad_geometry, differentiating u and v."""
+        ramp = np.zeros((8, 8, 3), np.float32)
+        ramp[..., 0] = np.linspace(0, 1, 8)[None, :]
+        ramp[..., 1] = np.linspace(0, 1, 8)[:, None]
+        ramp[..., 2] = 0.5
+        b = SceneBuilder()
+        b.quad((-2, -2, -3), (4, 0, 0), (0, 4, 0), b.lambertian(b.image(ramp)))
+        scene = b.compile(use_bvh=False, image_bilinear=True)
+        cfg = CameraConfig(
+            aspect_ratio=1.0, image_width=8, samples_per_pixel=2, max_depth=2,
+            background=(0.7, 0.8, 1.0), vfov=30.0, lookfrom=(0, 0, 0),
+            lookat=(0, 0, -1), focus_dist=1.0,
+        )
+
+        def loss_u(u):
+            s = scene.replace(quads=scene.quads.replace(u=u))
+            return _center_loss(render_once(s, cfg, seed=1))
+
+        def loss_v(v):
+            s = scene.replace(quads=scene.quads.replace(v=v))
+            return _center_loss(render_once(s, cfg, seed=1))
+
+        _fd_check(loss_u, scene.quads.u, eps=2e-3,
+                  components=[(0, 0), (0, 1)])
+        _fd_check(loss_v, scene.quads.v, eps=2e-3,
+                  components=[(0, 0), (0, 1)])
+
     def test_image_texture_bilinear_geometry_grad(self):
         rng = np.random.default_rng(0)
         img = rng.random((16, 32, 3)).astype(np.float32)
@@ -258,6 +288,79 @@ class TestCameraGrads:
         eps = 0.05
         fd = (float(loss(p0.vfov + eps)) - float(loss(p0.vfov - eps))) / (2 * eps)
         assert abs(g - fd) < 0.1 * max(abs(fd), 1e-3), (g, fd)
+
+    def test_focus_dist_fd_with_defocus(self):
+        """Defocus optics gradients (camera.hpp:180-232 thin-lens): with a
+        static defocus_angle > 0, focus_dist shifts both the focal plane
+        and the viewport scale; its pathwise gradient must match FD. (The
+        defocus sampling *branch* keys off the static config — enabling
+        defocus is a config change, not a differentiable one.)"""
+        scene, _ = _marble_sphere_scene()
+        cfg = CameraConfig(
+            aspect_ratio=1.0, image_width=8, samples_per_pixel=4, max_depth=3,
+            background=(0.7, 0.8, 1.0), vfov=30.0, lookfrom=(0, 0, 0),
+            lookat=(0, 0, -1), defocus_angle=2.0, focus_dist=3.0,
+        )
+        p0 = CameraParams.from_config(cfg)
+
+        def loss(fd_):
+            return _center_loss(
+                render_once(scene, cfg, p0.replace(focus_dist=fd_), seed=1)
+            )
+
+        g = float(jax.grad(loss)(p0.focus_dist))
+        eps = 3e-3
+        fd = (float(loss(p0.focus_dist + eps))
+              - float(loss(p0.focus_dist - eps))) / (2 * eps)
+        assert abs(fd) > 1e-4, "degenerate FD slope"
+        assert abs(g - fd) < 0.12 * max(abs(fd), 1e-3), (g, fd)
+
+    def test_defocus_angle_fd(self):
+        """defocus_angle magnitude gradient under a static enabled-defocus
+        config: widening the aperture blurs the center block."""
+        scene, _ = _marble_sphere_scene()
+        cfg = CameraConfig(
+            aspect_ratio=1.0, image_width=8, samples_per_pixel=4, max_depth=3,
+            background=(0.7, 0.8, 1.0), vfov=30.0, lookfrom=(0, 0, 0),
+            lookat=(0, 0, -1), defocus_angle=2.0, focus_dist=3.0,
+        )
+        p0 = CameraParams.from_config(cfg)
+
+        def loss(ang):
+            return _center_loss(
+                render_once(scene, cfg, p0.replace(defocus_angle=ang), seed=1)
+            )
+
+        g = float(jax.grad(loss)(p0.defocus_angle))
+        eps = 0.05
+        fd = (float(loss(p0.defocus_angle + eps))
+              - float(loss(p0.defocus_angle - eps))) / (2 * eps)
+        if abs(fd) > 1e-4:
+            assert abs(g - fd) < 0.15 * max(abs(fd), 1e-3), (g, fd)
+        else:
+            assert np.isfinite(g)
+
+    def test_motion_blur_time_grads_finite(self):
+        """Moving-sphere scene: velocity gradients flow through the
+        per-ray motion-blur time (sphere.hpp center-as-ray) and are
+        finite; FD-checked on the velocity y component."""
+        b = SceneBuilder()
+        b.sphere((0.0, 0.0, -3.0), 1.0, b.lambertian(b.noise(2.0)),
+                 center2=(0.0, 0.15, -3.0))
+        scene = b.compile(use_bvh=False)
+        cfg = CameraConfig(
+            aspect_ratio=1.0, image_width=8, samples_per_pixel=4, max_depth=3,
+            background=(0.7, 0.8, 1.0), vfov=30.0, lookfrom=(0, 0, 0),
+            lookat=(0, 0, -1), focus_dist=1.0,
+        )
+        assert scene.flags.has_moving
+
+        def loss(vel):
+            s = scene.replace(spheres=scene.spheres.replace(velocity=vel))
+            return _center_loss(render_once(s, cfg, seed=1))
+
+        _fd_check(loss, scene.spheres.velocity, eps=2e-3, rtol=0.12,
+                  components=[(0, 1), (0, 2)])
 
 
 class TestGradInfra:
