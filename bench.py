@@ -174,13 +174,19 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
                 jnp.zeros((), jnp.int32))
         return jax.lax.fori_loop(0, n_chunks, body, init)
 
+    import numpy as np
+
     fn = jax.jit(sweep)
     compiled = fn.lower(*args).compile()
+    # Time through host materialization, not block_until_ready: on the
+    # tunneled remote platform block_until_ready can return while the
+    # device is still executing (see render/renderer.py), which would
+    # inflate this metric by orders of magnitude.
     t0 = time.perf_counter()
     gc, gr, segs = compiled(*args)
-    gc.block_until_ready()
-    dt = time.perf_counter() - t0
+    np.asarray(gc), np.asarray(gr)
     total_segments = int(segs)
+    dt = time.perf_counter() - t0
     return dict(seconds=dt, segments=total_segments,
                 rays_per_s=total_segments / dt)
 
@@ -279,12 +285,12 @@ def bench_scaling(n_devices=8, width=200, spp=16, max_depth=8, seed=7):
         params = CameraParams.from_config(cfg)
         pix = jnp.arange(n_pix_pad, dtype=jnp.int32)
         part, seg = fn(scene_prep, params, pix, jnp.uint32(seed))  # compile
-        part.block_until_ready()
+        np.asarray(part)  # honest fence (see render/renderer.py)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             part, seg = fn(scene_prep, params, pix, jnp.uint32(seed))
-        part.block_until_ready()
+            np.asarray(part)
         dt = (time.perf_counter() - t0) / reps
         return int(seg) / dt
 

@@ -29,13 +29,16 @@ operates on (8, 128) = 1024 rays at once:
   exit by default (the ~2 µs Mosaic while-iteration floor is ~15% of
   the ~13 µs body at final-scene size); static unroll available.
 
-Bit-parity: the arithmetic is op-for-op the group kernel's (same f32
-sequence per primitive — r² is precomputed in f32 so ``oc·oc − r²``
-matches ``... − r·r``), and the range-check refactor is outcome-
-equivalent: ``root = root0 if root0 > tmin else root1`` with the
-``< t_best`` test folded into the strict min-update selects exactly the
-reference's nearest-root-in-(tmin, closest) choice
-(sphere.hpp hit semantics; see tests/test_megakernel.py equality suite).
+Parity: winner *semantics* match the group kernel and the XLA
+integrator — nearest root in (tmin, closest), lowest index winning ties
+via strict < (sphere.hpp hit semantics; tests/test_megakernel.py
+equality suite) — up to f32 rounding: the sphere root search runs in
+``a·t`` space (roots kept as ``-half_b ∓ √disc``, every comparison
+scaled by ``a > 0``, only the winner divided back), the motion offset
+is folded into ``oc``, and r² seeds the ``oc·oc`` accumulation, which
+together drop ~6 of ~28 VPU ops per sphere but reassociate a few f32
+sums. Razor-edge winners (two roots within 1 ulp of each other or of
+tmin) can differ from the XLA path; the suite's tolerances cover this.
 
 Mosaic portability rules are listed in ops/megakernel.py's docstring —
 read them before editing. One addition learned here: per-primitive
@@ -103,8 +106,19 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                           tmin: float = T_MIN, interpret: bool = False,
                           unroll: bool = False, ablate: tuple = (),
                           want_state: bool = True, want_ids: bool = False,
-                          use_clusters: bool | None = None):
+                          use_clusters: bool | None = None,
+                          depth_cap: int | None = None):
     """Build the block-layout megakernel for one phase.
+
+    ``depth_cap`` (the pool/regeneration mode, render/pool.py): rays in
+    one launch no longer share a bounce index — ``run`` takes an extra
+    per-ray ``dep`` array (i32: segments already traced by the ray
+    before this launch). The RNG stream index becomes
+    ``dep + b`` per ray (bit-identical streams to the phased path, which
+    passes the shared offset through ``seed_and_offset[1]``) and a ray
+    dies — state kept, like the XLA integrator's depth exhaustion — once
+    it has traced ``depth_cap`` total segments. ``max_depth`` stays the
+    per-launch bounce budget.
 
     Returns ``run(sph_sweep, quad_sweep, tabt_rep, noise_rep, atlas_rep,
     ox..dz, tm, pix, smp, thr_r..act, seed_and_offset) -> 14 outputs`` —
@@ -180,9 +194,14 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             (sph_ref, quad_ref, cbox_ref, tabt_ref, noise_ref, atlas_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
              pix_ref, smp_ref,
-             tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref, act_ref,
-             seed_ref) = refs[:23]
-            outs = refs[23:-4]
+             tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
+             act_ref) = refs[:22]
+            if depth_cap is not None:
+                dep_ref, seed_ref = refs[22:24]
+                outs = refs[24:-4]
+            else:
+                dep_ref, seed_ref = None, refs[22]
+                outs = refs[23:-4]
             zref, tbs_ref, ibs_ref, clist_ref = refs[-4:]
             rr_ref, rg_ref, rb_ref, bc_ref = outs[0:4]
             k = 4
@@ -211,7 +230,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tm_ref, pix_ref, smp_ref,
                     tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
-                    act_ref, rr_ref, rg_ref, rb_ref, bc_ref,
+                    act_ref, dep_ref, rr_ref, rg_ref, rb_ref, bc_ref,
                     state_outs, ids_ref, tbs_ref, ibs_ref, clist_ref)
 
         return kernel
@@ -222,7 +241,8 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    tm_ref, pix_ref, smp_ref,
                    tr_ref, tg_ref, tb2_ref, ra_ref, ga_ref, ba_ref,
-                   act_ref, rr_ref, rg_ref, rb_ref, bc_ref, state_refs,
+                   act_ref, dep_ref, rr_ref, rg_ref, rb_ref, bc_ref,
+                   state_refs,
                    ids_ref, tbs_ref, ibs_ref, clist_ref):
         sl = slice(s * GROUPS, (s + 1) * GROUPS)
         ox0 = ox_ref[sl, :]
@@ -235,45 +255,70 @@ def make_megakernel_block(mega, *, max_depth: int, background,
         pix = pix_ref[sl, :].astype(jnp.uint32)
         smp = smp_ref[sl, :].astype(jnp.uint32)
         seed_t = jnp.full((GROUPS, TILE), jnp.uint32(0)) + seed
+        if dep_ref is not None:
+            dep_i = dep_ref[sl, :]                       # i32 segments already traced
+            # i32 → u32 like pix/smp above (Mosaic has no f32→u32 cast)
+            dep4 = dep_i.astype(jnp.uint32) * jnp.uint32(4)  # RNG stream offset
+        else:
+            dep_i = dep4 = None
 
         def intersect(ox, oy, oz, dx, dy, dz):
             """Closest hit over every primitive: SMEM-scalar fori sweeps.
             Returns (t (8,128), idx (8,128) f32; idx<0 = miss). Winner
-            semantics match the pairwise kernel exactly: nearest root in
-            (tmin, t_best), lowest index winning ties via strict <."""
+            semantics match the pairwise kernel (nearest root in
+            (tmin, t_best), lowest index winning ties via strict <) up to
+            rounding: the sphere root search runs in ``a·t`` space (see
+            ``sph_body``), so root ordering and the tmin test use the
+            undivided ``-half_b ∓ sq`` values and only the winner is
+            divided by ``a`` — same reference semantics (sphere.hpp
+            nearest-root-in-range), ±1-ulp t at phase boundaries."""
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
+            ta = tmin * a  # tmin in a·t space (a > 0)
 
             def sph_body(j, carry):
-                tb, ib = carry
+                """One sphere against the tile. The carry's best-t is kept
+                in a·t space (sb = a·t_best, BIG = miss): the roots of
+                a·t² + 2b·t + c are s/a for s = -b ∓ √disc, and a > 0
+                makes every (tmin, closest) comparison monotone under the
+                scaling — so the two per-root ``* inv_a`` and the separate
+                root>tmin re-test fold away (~5 of ~27 VPU ops/sphere).
+                ``_sb_to_t`` converts the single winner back once."""
+                sb, ib = carry
                 if moving:
-                    cx = sph_ref[j, 0] + tmv * sph_ref[j, 3]
-                    cy = sph_ref[j, 1] + tmv * sph_ref[j, 4]
-                    cz = sph_ref[j, 2] + tmv * sph_ref[j, 5]
+                    # motion folded into oc: (o - c0) - t·v, one op/axis
+                    # fewer than o - (c0 + t·v)
+                    ocx = (ox - sph_ref[j, 0]) - tmv * sph_ref[j, 3]
+                    ocy = (oy - sph_ref[j, 1]) - tmv * sph_ref[j, 4]
+                    ocz = (oz - sph_ref[j, 2]) - tmv * sph_ref[j, 5]
                 else:
-                    # no moving spheres in this scene: skip the 6 motion
-                    # ops (≈15% of the sweep body)
-                    cx = sph_ref[j, 0] + zero
-                    cy = sph_ref[j, 1] + zero
-                    cz = sph_ref[j, 2] + zero
-                rsq = sph_ref[j, 6]
-                ocx = ox - cx
-                ocy = oy - cy
-                ocz = oz - cz
+                    # no moving spheres in this scene: skip the 3 motion
+                    # ops; the scalar SMEM operand broadcasts for free
+                    ocx = ox - sph_ref[j, 0]
+                    ocy = oy - sph_ref[j, 1]
+                    ocz = oz - sph_ref[j, 2]
                 half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
-                cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rsq
+                # r² folded into the accumulation as the addend's seed
+                cq = ocx * ocx + ocy * ocy + (ocz * ocz - sph_ref[j, 6])
                 disc = half_b * half_b - a * cq
                 # no max(disc, 0) / disc >= 0 guard: sqrt(negative) = NaN,
                 # NaN roots compare false below (IEEE), so misses reject
                 # themselves — identical winners, 3 fewer vector ops
                 sq = jnp.sqrt(disc)
-                root0 = (-half_b - sq) * inv_a
-                root1 = (-half_b + sq) * inv_a
-                root = jnp.where(root0 > tmin, root0, root1)
-                imp = (root > tmin) & (root < tb)
-                tb = jnp.where(imp, root, tb)
+                nhb = -half_b
+                s0 = nhb - sq
+                s1 = nhb + sq
+                s = jnp.where(s0 > ta, s0, s1)
+                imp = (s > ta) & (s < sb)
+                sb = jnp.where(imp, s, sb)
                 ib = jnp.where(imp, zero + j.astype(jnp.float32), ib)
-                return tb, ib
+                return sb, ib
+
+            def _sb_to_t(carry):
+                """a·t-space winner → t-space (misses stay exactly BIG:
+                BIG·inv_a would under/overflow the t < BIG miss test)."""
+                sb, ib = carry
+                return jnp.where(ib >= 0.0, sb * inv_a, zero + BIG), ib
 
             def quad_body(j, carry):
                 tb, ib = carry
@@ -393,7 +438,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     return jnp.int32(0)
 
                 jax.lax.fori_loop(0, n_exec, sweep_one, jnp.int32(0))
-                carry = (tbs_ref[:], ibs_ref[:])
+                carry = _sb_to_t((tbs_ref[:], ibs_ref[:]))
             elif use_clusters == "frustum":
                 # scalar-core cone culling: bound the tile's 1024 rays by
                 # one cone (apex = origin-box center inflated by its
@@ -459,7 +504,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     return carry_i
 
                 jax.lax.fori_loop(0, n_clusters, cl_body, jnp.int32(0))
-                carry = (tbs_ref[:], ibs_ref[:])
+                carry = _sb_to_t((tbs_ref[:], ibs_ref[:]))
             elif use_clusters:
                 # clustered culling sweep: slab-test each cluster's swept
                 # AABB (aabb.hpp:61-112 semantics, conservative) against
@@ -490,7 +535,9 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     lo = jnp.maximum(lo, jnp.minimum(t0, t1))
                     hi = jnp.minimum(hi, jnp.maximum(t0, t1))
                     tb_cur = tbs_ref[:]
-                    hitm = (lo <= hi) & (hi > tmin) & (lo < tb_cur)
+                    # tb_cur is in a·t space (see sph_body): compare the
+                    # cluster's t-space entry distance scaled by a
+                    hitm = (lo <= hi) & (hi > tmin) & (lo * a < tb_cur)
                     any_hit = jnp.max(jnp.where(hitm, 1.0, 0.0)) > 0.0
 
                     @pl.when(any_hit)
@@ -504,12 +551,12 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     return carry_i
 
                 jax.lax.fori_loop(0, n_clusters, cl_body, jnp.int32(0))
-                carry = (tbs_ref[:], ibs_ref[:])
+                carry = _sb_to_t((tbs_ref[:], ibs_ref[:]))
             else:
                 carry = (zero + BIG, zero - 1.0)
                 if n_sph > 0:
-                    carry = jax.lax.fori_loop(
-                        0, n_sph_rows // SWEEP_UNROLL, sph_block, carry)
+                    carry = _sb_to_t(jax.lax.fori_loop(
+                        0, n_sph_rows // SWEEP_UNROLL, sph_block, carry))
             if n_quad > 0:
                 carry = jax.lax.fori_loop(
                     0, n_quad_rows // SWEEP_UNROLL, quad_block, carry)
@@ -740,6 +787,8 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     (b.astype(jnp.uint32) + b_off) * jnp.uint32(4)
                     + jnp.uint32(2)
                 )
+                if dep4 is not None:
+                    ctr = ctr + dep4  # per-ray stream: bounce index dep + b
                 v0, v1, v2, _ = _pcg4d(pix, smp, ctr, seed_t)
                 u0 = _u01(v0)
                 u1 = _u01(v1)
@@ -760,6 +809,8 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                 did_scatter = ((is_metal & metal_ok)
                                | (~is_metal & ~is_light))
                 live = hit_mask & did_scatter
+                if depth_cap is not None:
+                    live = live & (dep_i + (b + 1) < depth_cap)
                 thr_r = jnp.where(live, thr_r * att_r, thr_r)
                 thr_g = jnp.where(live, thr_g * att_g, thr_g)
                 thr_b = jnp.where(live, thr_b * att_b, thr_b)
@@ -853,6 +904,13 @@ def make_megakernel_block(mega, *, max_depth: int, background,
 
             did_scatter = (is_metal & metal_ok) | (~is_metal & ~is_light)
             live = hit_mask & did_scatter
+            if depth_cap is not None:
+                # depth exhaustion: the ray dies with its radiance as-is
+                # (the XLA integrator just stops iterating; here the lane
+                # must free up for regeneration). State updates below are
+                # masked off — parity is unaffected (the phased path never
+                # reads a capped ray's post-cap state either).
+                live = live & (dep_i + (b + 1) < depth_cap)
             thr_r = jnp.where(live, thr_r * att_r, thr_r)
             thr_g = jnp.where(live, thr_g * att_g, thr_g)
             thr_b = jnp.where(live, thr_b * att_b, thr_b)
@@ -908,7 +966,9 @@ def make_megakernel_block(mega, *, max_depth: int, background,
     def run(sph_sweep, quad_sweep, tabt_rep, noise_rep, atlas_rep,
             ox, oy, oz, dx, dy, dz, tmv, pix, smp,
             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act,
-            seed_and_offset):
+            seed_and_offset, dep=None):
+        assert (dep is not None) == (depth_cap is not None), \
+            "pass dep exactly when depth_cap is set"
         n_rows = ox.shape[0]
         assert n_rows % GROUPS == 0
         n_sub = 1
@@ -945,6 +1005,10 @@ def make_megakernel_block(mega, *, max_depth: int, background,
 
         cbox_arr = (cbox if use_clusters
                     else jnp.zeros((1, 8), jnp.float32))
+        ray_ins = [ox, oy, oz, dx, dy, dz, tmv, pix, smp,
+                   thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act]
+        if dep is not None:
+            ray_ins.append(dep)
         outs = pl.pallas_call(
             make_kernel(n_sub, want_state, want_ids),
             grid=grid,
@@ -953,7 +1017,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 whole(tabt_rep), whole(noise_rep), whole(atlas_rep),
-            ] + [ray_spec] * 16 + [
+            ] + [ray_spec] * len(ray_ins) + [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=out_specs,
@@ -966,8 +1030,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             ],
             interpret=interpret,
         )(sph_sweep, quad_sweep, cbox_arr, tabt_rep, noise_rep, atlas_rep,
-          ox, oy, oz, dx, dy, dz, tmv, pix, smp,
-          thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, act, seed_and_offset)
+          *ray_ins, seed_and_offset)
         if want_ids:
             outs = list(outs)
             ids = outs.pop()

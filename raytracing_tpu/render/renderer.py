@@ -174,8 +174,18 @@ class Renderer:
         ray_order: str = "sample",
         spp_chunk: int | None = None,
         sort_regions: int = 1,
+        schedule: str = "phased",   # "phased" | "pool" (render/pool.py)
+        pool_size: int = 1 << 18,
+        k_bounces: int = 2,
+        pool_fold: str = "sort",
     ):
         self.cfg = cfg
+        self.schedule = schedule
+        self.pool_size = pool_size
+        self.k_bounces = k_bounces
+        self.pool_fold = pool_fold
+        self._pool_exe = None
+        self._pool_scene = None
         self.hit_method = hit_method
         self.mode = mode
         self.remat = remat
@@ -312,6 +322,65 @@ class Renderer:
         self._fused_key = key
         return self._fused
 
+    def _render_pool(self, scene: Scene, params: CameraParams,
+                     seed: int) -> RenderResult:
+        """Regenerating-pool schedule (render/pool.py): the whole render
+        is one persistent wavefront at ~full occupancy, outer-chunked
+        over sample windows only when the (pixel, sample) stream exceeds
+        the pool's 24-bit gid space."""
+        from ..ops.megakernel import build_mega_scene
+        from . import pool as pool_mod
+
+        cfg = self.cfg
+        if self._pool_exe is None or self._pool_scene is not scene:
+            mega = build_mega_scene(scene)
+            if not mega.supported:
+                raise ValueError("scene exceeds the megakernel texture "
+                                 "budget; the pool schedule needs the "
+                                 "Pallas fast path")
+            spp_w = min(cfg.samples_per_pixel,
+                        max(1, (pool_mod.MAX_POOL_STREAM - 1) // cfg.n_pixels))
+            interpret = jax.default_backend() == "cpu"
+            mb = scene.flags.has_moving
+
+            def run_window(params, seed_arr, sample_start, n_samples):
+                return pool_mod.trace_pool(
+                    mega, cfg, params, seed_arr,
+                    pool_size=min(self.pool_size,
+                                  -(-cfg.n_pixels * n_samples // 1024) * 1024),
+                    k_bounces=self.k_bounces, interpret=interpret,
+                    fold=self.pool_fold, sample_start=sample_start,
+                    n_samples=n_samples, motion_blur=mb)
+
+            spp = cfg.samples_per_pixel
+            windows = [(s, min(spp_w, spp - s)) for s in range(0, spp, spp_w)]
+            exes = {}
+            for _, n in windows:
+                if n not in exes:
+                    exes[n] = jax.jit(
+                        partial(run_window, n_samples=n),
+                        static_argnames=(),
+                    ).lower(params, jnp.uint32(seed), jnp.int32(0)).compile()
+            self._pool_exe = (windows, exes)
+            self._pool_scene = scene
+        windows, exes = self._pool_exe
+        t0 = _time.perf_counter()
+        acc = None
+        seg = 0
+        for s, n in windows:
+            rad, (lo, hi) = exes[n](params, jnp.uint32(seed), jnp.int32(s))
+            rad_h = np.asarray(rad)  # honest fence (see fused branch)
+            seg += int(np.uint32(hi)) * (1 << 32) + int(np.uint32(lo))
+            acc = rad_h if acc is None else acc + rad_h
+        seconds = _time.perf_counter() - t0
+        mean = acc / cfg.samples_per_pixel
+        return RenderResult(
+            radiance=mean.reshape(cfg.image_height, cfg.image_width, 3),
+            segments=seg,
+            seconds=seconds,
+            launches=len(windows),
+        )
+
     def render(
         self,
         scene: Scene,
@@ -324,6 +393,8 @@ class Renderer:
         cfg = self.cfg
         if params is None:
             params = CameraParams.from_config(cfg)
+        if self.schedule == "pool":
+            return self._render_pool(scene, params, seed)
         fn = self._get_compiled(scene)
         seed_arr = jnp.uint32(seed)
 
@@ -361,13 +432,19 @@ class Renderer:
                 self._fused_exe = fused_fn.lower(
                     scene, params, accum, seed_arr).compile()
             compiled = self._fused_exe
+            # Time through the host materialization, NOT block_until_ready:
+            # on the tunneled remote platform block_until_ready has been
+            # observed to return in ~3 ms while the device was still
+            # executing a ~400 ms program (the outputs were correct; only
+            # the wait was a no-op), which would inflate the benchmark
+            # ~100x. np.asarray cannot return without the actual bytes.
             t0 = _time.perf_counter()
             accum, segs_vec = compiled(scene, params, accum, seed_arr)
-            accum.block_until_ready()
+            accum_h = np.asarray(accum)
+            segs_h = np.asarray(segs_vec, np.int64)
             seconds = _time.perf_counter() - t0
-            segments = seg_base + int(
-                np.sum(np.asarray(segs_vec, np.int64), initial=0))
-            mean = np.asarray(accum[:n_pix]) / cfg.samples_per_pixel
+            segments = seg_base + int(np.sum(segs_h, initial=0))
+            mean = accum_h[:n_pix] / cfg.samples_per_pixel
             return RenderResult(
                 radiance=mean.reshape(cfg.image_height, cfg.image_width, 3),
                 segments=segments,
@@ -401,13 +478,15 @@ class Renderer:
                         "schunk": s + 1,
                     }
                 )
-        accum.block_until_ready()
+        # materialize inside the timed region (see the fused branch: the
+        # remote platform's block_until_ready can return early)
+        accum_h = np.asarray(accum)
         seconds = _time.perf_counter() - t0
         segments = seg_base + int(np.sum(np.asarray(seg_parts, np.int64), initial=0))
         if progress:
             print("\rDone.                        ", flush=True)
 
-        mean = np.asarray(accum[:n_pix]) / cfg.samples_per_pixel
+        mean = accum_h[:n_pix] / cfg.samples_per_pixel
         return RenderResult(
             radiance=mean.reshape(cfg.image_height, cfg.image_width, 3),
             segments=segments,

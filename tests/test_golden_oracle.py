@@ -50,6 +50,28 @@ class TestGolden:
         _compare("earth", cam_overrides=dict(image_width=48, samples_per_pixel=2,
                                              max_depth=4))
 
+    def test_earth_real_asset(self, monkeypatch):
+        """Same comparison with the REAL reference asset (earthmap.jpg,
+        main.cpp:141-171) when a reference checkout provides it: verifies
+        decode → u8 round-trip → atlas → UV lookup against the oracle on
+        the actual texture, not just the procedural stand-in. Skipped when
+        no asset directory is present (we do not vendor the jpg)."""
+        import os
+
+        from raytracing_tpu.scene import assets
+
+        candidates = [os.environ.get("RTW_IMAGES"), "/root/reference/images"]
+        img_dir = next((c for c in candidates
+                        if c and os.path.isfile(
+                            os.path.join(c, "earthmap.jpg"))), None)
+        if img_dir is None:
+            pytest.skip("earthmap.jpg not available")
+        monkeypatch.setenv("RTW_IMAGES", img_dir)
+        assert assets.find_image("earthmap.jpg") is not None
+        _compare("earth", cam_overrides=dict(image_width=48,
+                                             samples_per_pixel=2,
+                                             max_depth=4))
+
     def test_perlin_sphere(self):
         # Looser bulk tolerance: 7-octave turbulence at scale 4 on a r=1000
         # ground sphere evaluates noise at coords ~6e4 where f32 has ~4e-3

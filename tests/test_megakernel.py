@@ -177,7 +177,10 @@ class TestInKernelBVH:
         scene, cfg, mega, o, d, t, pix, smp = self._rays("bouncing_spheres", 8)
         args = (mega, o, d, t, pix, smp, cfg.background, 8, jnp.uint32(3))
         r_bvh, s_bvh = trace_megakernel(*args, interpret=True, use_bvh=True)
-        r_brt, s_brt = trace_megakernel(*args, interpret=True, use_bvh=False)
+        # layout="group": the brute side must run the SAME kernel as the
+        # walk (the block kernel's a·t-space sweep is rounding-different)
+        r_brt, s_brt = trace_megakernel(*args, interpret=True, use_bvh=False,
+                                        layout="group")
         np.testing.assert_array_equal(np.asarray(r_bvh), np.asarray(r_brt))
         assert int(s_bvh) == int(s_brt)
 
@@ -206,7 +209,8 @@ class TestInKernelBVH:
         scene, cfg, mega, o, d, t, pix, smp = self._rays("cornell_box", 5)
         args = (mega, o, d, t, pix, smp, cfg.background, 5, jnp.uint32(3))
         r_bvh, s_bvh = trace_megakernel(*args, interpret=True, use_bvh=True)
-        r_brt, s_brt = trace_megakernel(*args, interpret=True, use_bvh=False)
+        r_brt, s_brt = trace_megakernel(*args, interpret=True, use_bvh=False,
+                                        layout="group")
         np.testing.assert_array_equal(np.asarray(r_bvh), np.asarray(r_brt))
         assert int(s_bvh) == int(s_brt)
 
@@ -241,7 +245,8 @@ class TestInKernelBVH:
                                         motion_blur=False)
         args = (mega, o, d, t, pix, smp, cfg.background, 6, jnp.uint32(5))
         r_bvh, s_bvh = trace_megakernel(*args, interpret=True, use_bvh=True)
-        r_brt, s_brt = trace_megakernel(*args, interpret=True, use_bvh=False)
+        r_brt, s_brt = trace_megakernel(*args, interpret=True, use_bvh=False,
+                                        layout="group")
         np.testing.assert_array_equal(np.asarray(r_bvh), np.asarray(r_brt))
         assert int(s_bvh) == int(s_brt)
 
