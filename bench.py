@@ -88,6 +88,9 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     import jax.numpy as jnp
 
     from raytracing_tpu.diff.replay import replay_trace
+    from raytracing_tpu.diff.replay_fast import (
+        replay_trace_fast, supported_fast,
+    )
     from raytracing_tpu.models.scenes import build
     from raytracing_tpu.ops.megakernel import (
         BLOCK, build_mega_scene, trace_megakernel,
@@ -137,14 +140,28 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
         )
         return ids
 
+    # Pallas fwd+bwd replay kernels (diff/replay_kernel.py) when the
+    # scene's textures allow and the batch aligns; packed-table XLA
+    # replay next; the gather-based replay as the last resort
+    from raytracing_tpu.diff.replay_kernel import replay_trace_kernel
+
+    B_batch = npix_pad * spp_chunk
+    if supported_fast(scene) and B_batch % 2048 == 0:
+        replay_fn = replay_trace_kernel
+    elif supported_fast(scene):
+        replay_fn = replay_trace_fast
+    else:
+        replay_fn = replay_trace
+
     def loss(center, rgb, sample0, ids):
         s = scene.replace(
             spheres=scene.spheres.replace(center=center),
             textures=scene.textures.replace(rgb=rgb),
         )
         o, d, t, smp = make_rays(sample0)
-        rad, seg = replay_trace(
-            s, ids, o, d, t, pix, smp, bg, max_depth, jnp.uint32(seed),
+        rad, seg = replay_fn(
+            s, ids, o, d, t, pix, smp, cfg.background, max_depth,
+            jnp.uint32(seed),
             active0=act0,
         )
         img = (rad * act0[:, None]).reshape(spp_chunk, npix_pad, 3)

@@ -1,0 +1,771 @@
+"""Pallas forward+backward decision replay — differentiable rendering as
+two kernel launches.
+
+Context (measured, tools/fbprof*.py + /tmp optest): on the tunneled TPU
+platform every XLA op costs ~80 µs to dispatch regardless of fusion, so
+the pure-XLA replay (diff/replay_fast.py, ~250 ops/bounce × 20 bounces)
+is dispatch-bound at ~80 ms forward / ~107 ms fwd+bwd per 131k-ray
+chunk. The only way to wavefront-speed gradients is to put the bounce
+math — forward AND backward — inside Pallas kernels:
+
+* **Forward kernel**: the replay bounce chain (winner-t from the
+  recorded id, hit attributes, checker texture, scatter) statically
+  unrolled over ``max_depth``, with per-bounce table fields fetched by
+  the lane-gather trick (ops/table_gather.py). One launch per chunk.
+* **Backward kernel**: re-runs the forward stashing each bounce's entry
+  state (o, d, throughput, active) in VMEM scratch, then sweeps the
+  bounces in reverse applying the hand-derived VJP of the bounce chain
+  (quadratic-root, plane-hit, normal, reflect/refract/normalize, Schlick
+  branch masks, checker selects — each mirroring the guarded forms in
+  core/vecmath.py so masked lanes stay NaN-free). It emits per-(bounce,
+  lane) cotangents for the 19 differentiable table fields.
+* **Reduction**: per-bounce one-hot MXU matmuls (the scatter-free
+  pattern from ops/table_gather.py) fold the per-lane cotangents into
+  the packed table's rows; ``build_replay_table``'s own VJP (plain XLA,
+  once per chunk) carries them back to scene parameters.
+
+Scope: gradients flow to SCENE parameters (sphere center/velocity/
+radius, quad plane, material fuzz/ior, texture rgbs) — the production
+optimization path. Camera-parameter gradients (o/d/time cotangents) are
+not emitted; use diff/replay_fast.py (exact, slower) when you need
+them. Radiance is bit-identical to replay_trace / replay_trace_fast
+(same scalar op order); gradients agree to f32 reassociation
+(tests/test_replay_kernel.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import rng as rng_mod
+from ..ops.intersect import PARALLEL_EPS, T_MIN
+from ..ops.megakernel_block import _pcg4d, _u01
+from ..core.vecmath import NEAR_ZERO_EPS
+from ..scene.types import MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_METAL
+from . import replay_fast as rf
+
+TILE = 128
+# ray rows per grid step: 8 keeps take_along_axis on the (8, 128) tile
+# shape Mosaic gathers fastest (16-sublane gathers measured ~5x slower)
+ROWS = 8
+BIG = 3.0e38
+
+# gradient output field order (NG rows per bounce per ray-row)
+_G_C = 0      # center / q           (3)
+_G_V = 3     # velocity / u edge — u edge unused, velocity only (3)
+_G_R = 6     # radius
+_G_QN = 7    # quad unit normal     (3)
+_G_QD = 10   # quad plane D
+_G_FUZZ = 11
+_G_IOR = 12
+_G_ER = 13   # even rgb (3)
+_G_OR = 16   # odd rgb  (3)
+NG = 19
+
+# packed-table → gradient-field column mapping (table col, grad slot)
+_TABLE_GRAD_COLS = (
+    (rf._F_G0, _G_C), (rf._F_G0 + 1, _G_C + 1), (rf._F_G0 + 2, _G_C + 2),
+    (rf._F_G1, _G_V), (rf._F_G1 + 1, _G_V + 1), (rf._F_G1 + 2, _G_V + 2),
+    (rf._F_RAD, _G_R),
+    (rf._F_QN, _G_QN), (rf._F_QN + 1, _G_QN + 1), (rf._F_QN + 2, _G_QN + 2),
+    (rf._F_QD, _G_QD),
+    (rf._F_FUZZ, _G_FUZZ), (rf._F_IOR, _G_IOR),
+    (rf._F_RGB_E, _G_ER), (rf._F_RGB_E + 1, _G_ER + 1),
+    (rf._F_RGB_E + 2, _G_ER + 2),
+    (rf._F_RGB_O, _G_OR), (rf._F_RGB_O + 1, _G_OR + 1),
+    (rf._F_RGB_O + 2, _G_OR + 2),
+)
+
+
+def _resolve(tab_ref, idx, F, n_chunks):
+    """All F packed fields for an (R, T) id tile: chunked lane gathers
+    from the R-sublane-replicated table (the resolve() trick)."""
+    vals = []
+    for f in range(F):
+        rows = None
+        for c in range(n_chunks):
+            local = jnp.clip(idx - c * TILE, 0, TILE - 1)
+            g = jnp.take_along_axis(
+                tab_ref[f * ROWS:(f + 1) * ROWS,
+                        c * TILE:(c + 1) * TILE], local, axis=1)
+            if rows is None:
+                rows = g
+            else:
+                use = (idx >= c * TILE) & (idx < (c + 1) * TILE)
+                rows = jnp.where(use, g, rows)
+        vals.append(rows)
+    return vals
+
+
+def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
+                        interpret=False, tmin=T_MIN):
+    """Build (fwd_run, bwd_run) for a packed replay table of L rows."""
+    F = rf.N_FIELDS
+    n_chunks = L // TILE
+    bg_r, bg_g, bg_b = (float(background[0]), float(background[1]),
+                        float(background[2]))
+    D = max_depth
+    two_pi = 2.0 * jnp.pi
+    MT_M, MT_D, MT_L = float(MAT_METAL), float(MAT_DIELECTRIC), \
+        float(MAT_DIFFUSE_LIGHT)
+
+    def bounce_fwd(v, ids_b, st, tm, pixu, smpu, seed, b):
+        """Forward bounce on (R, T) tiles; returns (new_state, inter)
+        where inter holds everything the backward recomputation needs."""
+        (ox, oy, oz, dx, dy, dz, rr, rg, rb, tr, tg, tb, act) = st
+        i = {}
+        has_id = ids_b >= 0
+        pid = jnp.where(has_id, ids_b, 0)
+        is_quad = pid >= n_sph
+
+        cx, cy, cz = v[rf._F_G0], v[rf._F_G0 + 1], v[rf._F_G0 + 2]
+        if has_moving:
+            cx = cx + tm * v[rf._F_G1]
+            cy = cy + tm * v[rf._F_G1 + 1]
+            cz = cz + tm * v[rf._F_G1 + 2]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        a = dx * dx + dy * dy + dz * dz
+        hb = ocx * dx + ocy * dy + ocz * dz
+        r = v[rf._F_RAD]
+        cq = (ocx * ocx + ocy * ocy + ocz * ocz) - r * r
+        disc = hb * hb - a * cq
+        pos = disc > 0.0
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        root0 = (-hb - sq) / a
+        root1 = (-hb + sq) / a
+        use0 = root0 > tmin
+        t_s = jnp.where(use0, root0, root1)
+
+        qnx, qny, qnz = v[rf._F_QN], v[rf._F_QN + 1], v[rf._F_QN + 2]
+        den = qnx * dx + qny * dy + qnz * dz
+        par = jnp.abs(den) < PARALLEL_EPS
+        sden = jnp.where(par, 1.0, den)
+        t_q = (v[rf._F_QD] - (qnx * ox + qny * oy + qnz * oz)) / sden
+
+        # valid == has_id: both branches' t are finite (a > 0, sden != 0)
+        t0 = jnp.where(is_quad, t_q, t_s)
+        ts_ = jnp.where(has_id, t0, 0.0)
+        px = ox + ts_ * dx
+        py = oy + ts_ * dy
+        pz = oz + ts_ * dz
+        inv_r = 1.0 / jnp.where(r > 0, r, 1.0)
+        owx = jnp.where(is_quad, qnx, (px - cx) * inv_r)
+        owy = jnp.where(is_quad, qny, (py - cy) * inv_r)
+        owz = jnp.where(is_quad, qnz, (pz - cz) * inv_r)
+        front = (dx * owx + dy * owy + dz * owz) < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx, ny, nz = sgn * owx, sgn * owy, sgn * owz
+
+        inv_sc = v[rf._F_INVSC]
+        cells = (jnp.floor(inv_sc * px).astype(jnp.int32)
+                 + jnp.floor(inv_sc * py).astype(jnp.int32)
+                 + jnp.floor(inv_sc * pz).astype(jnp.int32))
+        use_even = ((cells % 2) == 0) | (v[rf._F_ISCHK] == 0.0)
+        tex_r = jnp.where(use_even, v[rf._F_RGB_E], v[rf._F_RGB_O])
+        tex_g = jnp.where(use_even, v[rf._F_RGB_E + 1], v[rf._F_RGB_O + 1])
+        tex_b = jnp.where(use_even, v[rf._F_RGB_E + 2], v[rf._F_RGB_O + 2])
+
+        ctr = jnp.full(ox.shape, jnp.uint32(0)) + (
+            jnp.uint32(b) * jnp.uint32(rng_mod.N_STREAMS)
+            + jnp.uint32(rng_mod.STREAM_SCATTER))
+        w0, w1, w2, _ = _pcg4d(pixu, smpu, ctr, seed)
+        u0, u1, u2 = _u01(w0), _u01(w1), _u01(w2)
+
+        zdir = 1.0 - 2.0 * u0
+        rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - zdir * zdir))
+        phi = two_pi * u1
+        rux = rho * jnp.cos(phi)
+        ruy = rho * jnp.sin(phi)
+        ruz = zdir
+
+        ldx0, ldy0, ldz0 = nx + rux, ny + ruy, nz + ruz
+        degen = ((jnp.abs(ldx0) < NEAR_ZERO_EPS)
+                 & (jnp.abs(ldy0) < NEAR_ZERO_EPS)
+                 & (jnp.abs(ldz0) < NEAR_ZERO_EPS))
+        ldx = jnp.where(degen, nx, ldx0)
+        ldy = jnp.where(degen, ny, ldy0)
+        ldz = jnp.where(degen, nz, ldz0)
+
+        ddn = dx * nx + dy * ny + dz * nz
+        rfx = dx - 2.0 * ddn * nx
+        rfy = dy - 2.0 * ddn * ny
+        rfz = dz - 2.0 * ddn * nz
+        rlen = jnp.sqrt(rfx * rfx + rfy * rfy + rfz * rfz)
+        fuzz = v[rf._F_FUZZ]
+        mdx = rfx / rlen + fuzz * rux
+        mdy = rfy / rlen + fuzz * ruy
+        mdz = rfz / rlen + fuzz * ruz
+        metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+
+        ior = v[rf._F_IOR]
+        ri = jnp.where(front, 1.0 / ior, ior)
+        dlen = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        udx, udy, udz = dx / dlen, dy / dlen, dz / dlen
+        inner = -(udx * nx + udy * ny + udz * nz)
+        clip1 = inner < 1.0
+        cost = jnp.where(clip1, inner, 1.0)
+        sint = jnp.sqrt(jnp.maximum(0.0, 1.0 - cost * cost))
+        cannot = ri * sint > 1.0
+        r0s = (1.0 - ri) / (1.0 + ri)
+        r0 = r0s * r0s
+        refl = r0 + (1.0 - r0) * (1.0 - cost) ** 5
+        usef = cannot | (refl > u2)
+        ppx = ri * (udx + cost * nx)
+        ppy = ri * (udy + cost * ny)
+        ppz = ri * (udz + cost * nz)
+        w = 1.0 - (ppx * ppx + ppy * ppy + ppz * ppz)
+        k = jnp.abs(w)
+        kpos = k > 0.0
+        kroot = jnp.where(kpos, jnp.sqrt(jnp.where(kpos, k, 1.0)), 0.0)
+        fdx = ppx - kroot * nx
+        fdy = ppy - kroot * ny
+        fdz = ppz - kroot * nz
+        udn = udx * nx + udy * ny + udz * nz
+        xrx = udx - 2.0 * udn * nx
+        xry = udy - 2.0 * udn * ny
+        xrz = udz - 2.0 * udn * nz
+        gdx = jnp.where(usef, xrx, fdx)
+        gdy = jnp.where(usef, xry, fdy)
+        gdz = jnp.where(usef, xrz, fdz)
+
+        mtype = v[rf._F_MTYPE]
+        is_metal = mtype == MT_M
+        is_diel = mtype == MT_D
+        is_light = mtype == MT_L
+
+        ndx = jnp.where(is_metal, mdx, ldx)
+        ndy = jnp.where(is_metal, mdy, ldy)
+        ndz = jnp.where(is_metal, mdz, ldz)
+        ndx = jnp.where(is_diel, gdx, ndx)
+        ndy = jnp.where(is_diel, gdy, ndy)
+        ndz = jnp.where(is_diel, gdz, ndz)
+
+        att_r = jnp.where(is_diel, 1.0, tex_r)
+        att_g = jnp.where(is_diel, 1.0, tex_g)
+        att_b = jnp.where(is_diel, 1.0, tex_b)
+        # no select on bool operands (Mosaic portability rule) — the
+        # boolean-identical form ops/megakernel_block.py uses
+        did_scatter = ((is_metal & metal_ok) | (~is_metal & ~is_light)) \
+            & ~is_light
+
+        actb = act > 0.5
+        miss = actb & ~has_id
+        rr = rr + jnp.where(miss, tr * bg_r, 0.0)
+        rg = rg + jnp.where(miss, tg * bg_g, 0.0)
+        rb = rb + jnp.where(miss, tb * bg_b, 0.0)
+        hit_mask = actb & has_id
+        emit = hit_mask & is_light
+        rr = rr + jnp.where(emit, tr * tex_r, 0.0)
+        rg = rg + jnp.where(emit, tg * tex_g, 0.0)
+        rb = rb + jnp.where(emit, tb * tex_b, 0.0)
+        live = hit_mask & did_scatter
+        tr2 = jnp.where(live, tr * att_r, tr)
+        tg2 = jnp.where(live, tg * att_g, tg)
+        tb2 = jnp.where(live, tb * att_b, tb)
+        ox2 = jnp.where(live, px, ox)
+        oy2 = jnp.where(live, py, oy)
+        oz2 = jnp.where(live, pz, oz)
+        dx2 = jnp.where(live, ndx, dx)
+        dy2 = jnp.where(live, ndy, dy)
+        dz2 = jnp.where(live, ndz, dz)
+        new_state = (ox2, oy2, oz2, dx2, dy2, dz2, rr, rg, rb,
+                     tr2, tg2, tb2, jnp.where(live, 1.0, 0.0))
+
+        i.update(
+            has_id=has_id, is_quad=is_quad, miss=miss, emit=emit, live=live,
+            cx=cx, cy=cy, cz=cz, ocx=ocx, ocy=ocy, ocz=ocz,
+            a=a, hb=hb, r=r, cq=cq, pos=pos, sq=sq, use0=use0,
+            qnx=qnx, qny=qny, qnz=qnz, par=par, sden=sden, t_q=t_q,
+            ts_=ts_, px=px, py=py, pz=pz, inv_r=inv_r,
+            owx=owx, owy=owy, owz=owz, sgn=sgn, nx=nx, ny=ny, nz=nz,
+            use_even=use_even, tex_r=tex_r, tex_g=tex_g, tex_b=tex_b,
+            rux=rux, ruy=ruy, ruz=ruz,
+            ddn=ddn, rfx=rfx, rfy=rfy, rfz=rfz, rlen=rlen,
+            ri=ri, dlen=dlen, udx=udx, udy=udy, udz=udz,
+            clip1=clip1, cost=cost, usef=usef,
+            ppx=ppx, ppy=ppy, ppz=ppz, w=w, kpos=kpos, kroot=kroot,
+            udn=udn,
+            is_metal=is_metal, is_diel=is_diel, is_light=is_light,
+            att_r=att_r, att_g=att_g, att_b=att_b,
+            tr=tr, tg=tg, tb=tb,
+        )
+        return new_state, i
+
+    def bounce_bwd(i, st_entry, adj, rad_bar, tm):
+        """Hand-derived VJP of bounce_fwd. ``adj`` = cotangents of the
+        bounce's OUTPUT (thr, o, d); returns input-side cotangents plus
+        the per-lane table-field gradients (NG arrays)."""
+        (ox, oy, oz, dx, dy, dz, _rr, _rg, _rb, tr, tg, tb, act) = st_entry
+        (TRr, TRg, TRb, Ox, Oy, Oz, Dx, Dy, Dz) = adj
+        RRr, RRg, RRb = rad_bar
+        live = i["live"]
+        miss = i["miss"]
+        emit = i["emit"]
+        z = jnp.zeros_like(ox)
+
+        def w_(m, x):
+            return jnp.where(m, x, 0.0)
+
+        # o' = live ? p : o ; d' = live ? nd : d ; tr' = live ? tr·att : tr
+        pbx, pby, pbz = w_(live, Ox), w_(live, Oy), w_(live, Oz)
+        obx, oby, obz = w_(~live, Ox), w_(~live, Oy), w_(~live, Oz)
+        ndbx, ndby, ndbz = w_(live, Dx), w_(live, Dy), w_(live, Dz)
+        dbx, dby, dbz = w_(~live, Dx), w_(~live, Dy), w_(~live, Dz)
+        attbr = w_(live, tr * TRr)
+        attbg = w_(live, tg * TRg)
+        attbb = w_(live, tb * TRb)
+        trb = jnp.where(live, i["att_r"] * TRr, TRr)
+        tgb = jnp.where(live, i["att_g"] * TRg, TRg)
+        tbb = jnp.where(live, i["att_b"] * TRb, TRb)
+        # emit adds tr·tex ; miss adds tr·bg
+        trb = trb + w_(emit, i["tex_r"] * RRr) + w_(miss, bg_r * RRr)
+        tgb = tgb + w_(emit, i["tex_g"] * RRg) + w_(miss, bg_g * RRg)
+        tbb = tbb + w_(emit, i["tex_b"] * RRb) + w_(miss, bg_b * RRb)
+        texbr = w_(emit, tr * RRr) + w_(~i["is_diel"], attbr)
+        texbg = w_(emit, tg * RRg) + w_(~i["is_diel"], attbg)
+        texbb = w_(emit, tb * RRb) + w_(~i["is_diel"], attbb)
+        ue = i["use_even"]
+        erb_r, erb_g, erb_b = w_(ue, texbr), w_(ue, texbg), w_(ue, texbb)
+        orb_r, orb_g, orb_b = w_(~ue, texbr), w_(~ue, texbg), w_(~ue, texbb)
+
+        # direction selects
+        imet, idie = i["is_metal"], i["is_diel"]
+        gdbx, gdby, gdbz = w_(idie, ndbx), w_(idie, ndby), w_(idie, ndbz)
+        mm = ~idie & imet
+        mdbx, mdby, mdbz = w_(mm, ndbx), w_(mm, ndby), w_(mm, ndbz)
+        ll = ~idie & ~imet
+        ldbx, ldby, ldbz = w_(ll, ndbx), w_(ll, ndby), w_(ll, ndbz)
+
+        nbx, nby, nbz = ldbx, ldby, ldbz  # lambert: d(ld)/dn = 1 both arms
+
+        # metal: md = rf/rlen + fuzz·ru
+        rlen = i["rlen"]
+        fuzzb = mdbx * i["rux"] + mdby * i["ruy"] + mdbz * i["ruz"]
+        s_md_rf = (mdbx * i["rfx"] + mdby * i["rfy"] + mdbz * i["rfz"])
+        inv_rl = 1.0 / rlen
+        inv_rl3 = inv_rl * inv_rl * inv_rl
+        rfbx = mdbx * inv_rl - s_md_rf * i["rfx"] * inv_rl3
+        rfby = mdby * inv_rl - s_md_rf * i["rfy"] * inv_rl3
+        rfbz = mdbz * inv_rl - s_md_rf * i["rfz"] * inv_rl3
+        # rf = d - 2 ddn n
+        S_rf_n = rfbx * i["nx"] + rfby * i["ny"] + rfbz * i["nz"]
+        dbx = dbx + rfbx - 2.0 * S_rf_n * i["nx"]
+        dby = dby + rfby - 2.0 * S_rf_n * i["ny"]
+        dbz = dbz + rfbz - 2.0 * S_rf_n * i["nz"]
+        nbx = nbx - 2.0 * (dx * S_rf_n + i["ddn"] * rfbx)
+        nby = nby - 2.0 * (dy * S_rf_n + i["ddn"] * rfby)
+        nbz = nbz - 2.0 * (dz * S_rf_n + i["ddn"] * rfbz)
+
+        # dielectric: gd = usef ? xr : fd
+        usef = i["usef"]
+        xrbx, xrby, xrbz = w_(usef, gdbx), w_(usef, gdby), w_(usef, gdbz)
+        fdbx, fdby, fdbz = w_(~usef, gdbx), w_(~usef, gdby), w_(~usef, gdbz)
+        udbx, udby, udbz = z, z, z
+        # xr = ud - 2 udn n
+        S_xr_n = xrbx * i["nx"] + xrby * i["ny"] + xrbz * i["nz"]
+        udbx = udbx + xrbx - 2.0 * S_xr_n * i["nx"]
+        udby = udby + xrby - 2.0 * S_xr_n * i["ny"]
+        udbz = udbz + xrbz - 2.0 * S_xr_n * i["nz"]
+        nbx = nbx - 2.0 * (i["udx"] * S_xr_n + i["udn"] * xrbx)
+        nby = nby - 2.0 * (i["udy"] * S_xr_n + i["udn"] * xrby)
+        nbz = nbz - 2.0 * (i["udz"] * S_xr_n + i["udn"] * xrbz)
+        # fd = pp - kroot n
+        ppbx, ppby, ppbz = fdbx, fdby, fdbz
+        krootb = -(fdbx * i["nx"] + fdby * i["ny"] + fdbz * i["nz"])
+        nbx = nbx - i["kroot"] * fdbx
+        nby = nby - i["kroot"] * fdby
+        nbz = nbz - i["kroot"] * fdbz
+        # kroot = kpos ? sqrt|w| : 0
+        kb = jnp.where(i["kpos"],
+                       krootb / (2.0 * jnp.where(i["kpos"], i["kroot"], 1.0)),
+                       0.0)
+        wb = kb * jnp.where(i["w"] >= 0.0, 1.0, -1.0)
+        ppbx = ppbx - 2.0 * wb * i["ppx"]
+        ppby = ppby - 2.0 * wb * i["ppy"]
+        ppbz = ppbz - 2.0 * wb * i["ppz"]
+        # pp = ri (ud + cost n)
+        ri, cost = i["ri"], i["cost"]
+        rib = (ppbx * (i["udx"] + cost * i["nx"])
+               + ppby * (i["udy"] + cost * i["ny"])
+               + ppbz * (i["udz"] + cost * i["nz"]))
+        udbx = udbx + ri * ppbx
+        udby = udby + ri * ppby
+        udbz = udbz + ri * ppbz
+        costb = ri * (ppbx * i["nx"] + ppby * i["ny"] + ppbz * i["nz"])
+        nbx = nbx + ri * cost * ppbx
+        nby = nby + ri * cost * ppby
+        nbz = nbz + ri * cost * ppbz
+        # cost = clip1 ? -(ud·n) : 1
+        cib = jnp.where(i["clip1"], costb, 0.0)
+        udbx = udbx - cib * i["nx"]
+        udby = udby - cib * i["ny"]
+        udbz = udbz - cib * i["nz"]
+        nbx = nbx - cib * i["udx"]
+        nby = nby - cib * i["udy"]
+        nbz = nbz - cib * i["udz"]
+        # ud = d / dlen
+        dlen = i["dlen"]
+        s_ud_d = udbx * dx + udby * dy + udbz * dz
+        inv_dl = 1.0 / dlen
+        inv_dl3 = inv_dl * inv_dl * inv_dl
+        dbx = dbx + udbx * inv_dl - s_ud_d * dx * inv_dl3
+        dby = dby + udby * inv_dl - s_ud_d * dy * inv_dl3
+        dbz = dbz + udbz * inv_dl - s_ud_d * dz * inv_dl3
+        # ri = front ? 1/ior : ior  (front == sgn > 0)
+        front = i["sgn"] > 0.0
+        iorv = jnp.where(front, 1.0, 0.0)  # marker only
+        del iorv
+        ior_from_tab = jnp.where(front, -(ri * ri), 1.0)
+        # d(1/ior)/dior = -1/ior² = -(ri²) when front
+        iorb = rib * ior_from_tab
+
+        # n = sgn · ow
+        sgn = i["sgn"]
+        owbx, owby, owbz = sgn * nbx, sgn * nby, sgn * nbz
+        # ow = is_quad ? qn : (p - c)·inv_r
+        isq = i["is_quad"]
+        qnbx, qnby, qnbz = w_(isq, owbx), w_(isq, owby), w_(isq, owbz)
+        inv_r = i["inv_r"]
+        pbx = pbx + w_(~isq, owbx * inv_r)
+        pby = pby + w_(~isq, owby * inv_r)
+        pbz = pbz + w_(~isq, owbz * inv_r)
+        cbx = -w_(~isq, owbx * inv_r)
+        cby = -w_(~isq, owby * inv_r)
+        cbz = -w_(~isq, owbz * inv_r)
+        rpos = i["r"] > 0.0
+        rb_ = jnp.where(
+            rpos & ~isq,
+            -(owbx * i["owx"] + owby * i["owy"] + owbz * i["owz"]) * inv_r,
+            0.0)
+
+        # p = o + ts d  (checker floor has zero gradient)
+        obx = obx + pbx
+        oby = oby + pby
+        obz = obz + pbz
+        dbx = dbx + i["ts_"] * pbx
+        dby = dby + i["ts_"] * pby
+        dbz = dbz + i["ts_"] * pbz
+        tsb = pbx * dx + pby * dy + pbz * dz
+        # ts_ = valid(has_id) ? t : 0 ; t = is_quad ? t_q : t_s
+        tb_ = w_(i["has_id"], tsb)
+        tqb = w_(isq, tb_)
+        tsb2 = w_(~isq, tb_)
+        # t_q = (qd - qn·o) / sden  (den grads only off the parallel mask)
+        sden = i["sden"]
+        inv_sd = 1.0 / sden
+        qdb = tqb * inv_sd
+        not_par = ~i["par"]
+        qnbx = qnbx + tqb * (-ox * inv_sd) + jnp.where(
+            not_par, tqb * (-i["t_q"] * inv_sd) * dx, 0.0)
+        qnby = qnby + tqb * (-oy * inv_sd) + jnp.where(
+            not_par, tqb * (-i["t_q"] * inv_sd) * dy, 0.0)
+        qnbz = qnbz + tqb * (-oz * inv_sd) + jnp.where(
+            not_par, tqb * (-i["t_q"] * inv_sd) * dz, 0.0)
+        obx = obx + tqb * (-i["qnx"] * inv_sd)
+        oby = oby + tqb * (-i["qny"] * inv_sd)
+        obz = obz + tqb * (-i["qnz"] * inv_sd)
+        dbx = dbx + jnp.where(not_par,
+                              tqb * (-i["t_q"] * inv_sd) * i["qnx"], 0.0)
+        dby = dby + jnp.where(not_par,
+                              tqb * (-i["t_q"] * inv_sd) * i["qny"], 0.0)
+        dbz = dbz + jnp.where(not_par,
+                              tqb * (-i["t_q"] * inv_sd) * i["qnz"], 0.0)
+        # t_s = (-hb + sg·sq)/a with sg = use0 ? -1 : +1
+        a = i["a"]
+        inv_a = 1.0 / a
+        sg = jnp.where(i["use0"], -1.0, 1.0)
+        t_s = jnp.where(i["use0"], (-i["hb"] - i["sq"]) * inv_a,
+                        (-i["hb"] + i["sq"]) * inv_a)
+        sqb = tsb2 * sg * inv_a
+        hbb = -tsb2 * inv_a
+        ab = -tsb2 * t_s * inv_a
+        # sq = pos ? sqrt(disc) : 0
+        discb = jnp.where(i["pos"],
+                          sqb / (2.0 * jnp.where(i["pos"], i["sq"], 1.0)),
+                          0.0)
+        # disc = hb² - a·cq
+        hbb = hbb + 2.0 * i["hb"] * discb
+        ab = ab - i["cq"] * discb
+        cqb = -a * discb
+        # cq = oc·oc - r²
+        ocbx = 2.0 * cqb * i["ocx"]
+        ocby = 2.0 * cqb * i["ocy"]
+        ocbz = 2.0 * cqb * i["ocz"]
+        rb_ = rb_ - 2.0 * i["r"] * cqb
+        # hb = oc·d
+        ocbx = ocbx + hbb * dx
+        ocby = ocby + hbb * dy
+        ocbz = ocbz + hbb * dz
+        dbx = dbx + hbb * i["ocx"]
+        dby = dby + hbb * i["ocy"]
+        dbz = dbz + hbb * i["ocz"]
+        # a = d·d
+        dbx = dbx + 2.0 * ab * dx
+        dby = dby + 2.0 * ab * dy
+        dbz = dbz + 2.0 * ab * dz
+        # oc = o - c(tm)
+        obx = obx + ocbx
+        oby = oby + ocby
+        obz = obz + ocbz
+        cbx = cbx - ocbx
+        cby = cby - ocby
+        cbz = cbz - ocbz
+
+        grads = [None] * NG
+        grads[_G_C], grads[_G_C + 1], grads[_G_C + 2] = cbx, cby, cbz
+        if has_moving:
+            # c = c0 + tm·v
+            grads[_G_V] = tm * cbx
+            grads[_G_V + 1] = tm * cby
+            grads[_G_V + 2] = tm * cbz
+        else:
+            grads[_G_V] = grads[_G_V + 1] = grads[_G_V + 2] = z
+        grads[_G_R] = rb_
+        grads[_G_QN], grads[_G_QN + 1], grads[_G_QN + 2] = qnbx, qnby, qnbz
+        grads[_G_QD] = qdb
+        grads[_G_FUZZ] = fuzzb
+        grads[_G_IOR] = iorb
+        grads[_G_ER], grads[_G_ER + 1], grads[_G_ER + 2] = erb_r, erb_g, erb_b
+        grads[_G_OR], grads[_G_OR + 1], grads[_G_OR + 2] = orb_r, orb_g, orb_b
+        return (trb, tgb, tbb, obx, oby, obz, dbx, dby, dbz), grads
+
+    def fwd_kernel(tab_ref, ids_ref, ox_ref, oy_ref, oz_ref,
+                   dx_ref, dy_ref, dz_ref, tm_ref, pix_ref, smp_ref,
+                   act_ref, seed_ref, rr_ref, rg_ref, rb_ref, bc_ref):
+        seed = seed_ref[0]
+        z = jnp.zeros((ROWS, TILE), jnp.float32)
+        pixu = pix_ref[...].astype(jnp.uint32)
+        smpu = smp_ref[...].astype(jnp.uint32)
+        seed_t = jnp.full((ROWS, TILE), jnp.uint32(0)) + seed
+        st = (ox_ref[...], oy_ref[...], oz_ref[...],
+              dx_ref[...], dy_ref[...], dz_ref[...],
+              z, z, z,
+              z + 1.0, z + 1.0, z + 1.0, act_ref[...])
+        tm = tm_ref[...]
+        bc = z
+        for b in range(D):
+            ids_b = ids_ref[b]
+            pid = jnp.where(ids_b >= 0, ids_b, 0)
+            v = _resolve(tab_ref, pid, F, n_chunks)
+            bc = bc + jnp.where(st[12] > 0.5, 1.0, 0.0)
+            st, _ = bounce_fwd(v, ids_b, st, tm, pixu, smpu, seed_t, b)
+        rr_ref[...] = st[6]
+        rg_ref[...] = st[7]
+        rb_ref[...] = st[8]
+        bc_ref[...] = bc.astype(jnp.int32)
+
+    def bwd_kernel(tab_ref, ids_ref, ox_ref, oy_ref, oz_ref,
+                   dx_ref, dy_ref, dz_ref, tm_ref, pix_ref, smp_ref,
+                   act_ref, rbr_ref, rbg_ref, rbb_ref, seed_ref,
+                   g_ref, stash, fstash):
+        seed = seed_ref[0]
+        z = jnp.zeros((ROWS, TILE), jnp.float32)
+        pixu = pix_ref[...].astype(jnp.uint32)
+        smpu = smp_ref[...].astype(jnp.uint32)
+        seed_t = jnp.full((ROWS, TILE), jnp.uint32(0)) + seed
+        tm = tm_ref[...]
+        st = (ox_ref[...], oy_ref[...], oz_ref[...],
+              dx_ref[...], dy_ref[...], dz_ref[...],
+              z, z, z,
+              z + 1.0, z + 1.0, z + 1.0, act_ref[...])
+        # forward sweep, stashing each bounce's entry state
+        for b in range(D):
+            for q, val in enumerate((st[0], st[1], st[2], st[3], st[4],
+                                     st[5], st[9], st[10], st[11], st[12])):
+                stash[(b * 10 + q) * ROWS:(b * 10 + q + 1) * ROWS, :] = val
+            ids_b = ids_ref[b]
+            pid = jnp.where(ids_b >= 0, ids_b, 0)
+            v = _resolve(tab_ref, pid, F, n_chunks)
+            # stash the resolved fields too: the table gathers are ~95%
+            # of a bounce's kernel time (measured); re-reading beats
+            # re-gathering in the reverse sweep
+            for f in range(F):
+                fstash[(b * F + f) * ROWS:(b * F + f + 1) * ROWS, :] = v[f]
+            st, _ = bounce_fwd(v, ids_b, st, tm, pixu, smpu, seed_t, b)
+        # backward sweep
+        rad_bar = (rbr_ref[...], rbg_ref[...], rbb_ref[...])
+        adj = (z, z, z, z, z, z, z, z, z)  # thr(3), o(3), d(3)
+        for b in range(D - 1, -1, -1):
+            def ld(q):
+                return stash[(b * 10 + q) * ROWS:(b * 10 + q + 1) * ROWS, :]
+            st_e = (ld(0), ld(1), ld(2), ld(3), ld(4), ld(5),
+                    z, z, z, ld(6), ld(7), ld(8), ld(9))
+            ids_b = ids_ref[b]
+            v = [fstash[(b * F + f) * ROWS:(b * F + f + 1) * ROWS, :]
+                 for f in range(F)]
+            _, inter = bounce_fwd(v, ids_b, st_e, tm, pixu, smpu, seed_t, b)
+            adj, grads = bounce_bwd(inter, st_e, adj, rad_bar, tm)
+            for g in range(NG):
+                g_ref[(b * NG + g) * ROWS:(b * NG + g + 1) * ROWS, :] = \
+                    grads[g]
+
+    def fwd_run(table_rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
+                act, seed_arr):
+        n_rows = ox.shape[0]
+        assert n_rows % ROWS == 0
+        grid = (n_rows // ROWS,)
+        rspec = pl.BlockSpec((ROWS, TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(table_rep.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, ROWS, TILE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [rspec] * 10 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[rspec] * 3 + [rspec],
+            out_shape=[jax.ShapeDtypeStruct((n_rows, TILE), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((n_rows, TILE), jnp.int32)],
+            interpret=interpret,
+        )(table_rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
+          seed_arr)
+
+    def bwd_run(table_rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
+                act, rbr, rbg, rbb, seed_arr):
+        n_rows = ox.shape[0]
+        grid = (n_rows // ROWS,)
+        rspec = pl.BlockSpec((ROWS, TILE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(table_rep.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, ROWS, TILE), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [rspec] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec((D * NG * ROWS, TILE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_rows * D * NG, TILE),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((D * 10 * ROWS, TILE), jnp.float32),
+                pltpu.VMEM((D * rf.N_FIELDS * ROWS, TILE), jnp.float32),
+            ],
+            interpret=interpret,
+        )(table_rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
+          rbr, rbg, rbb, seed_arr)
+
+    return fwd_run, bwd_run
+
+
+def _float0(x):
+    import numpy as np
+
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def replay_trace_kernel(
+    scene,
+    ids: jnp.ndarray,        # (max_depth, B) i32 recorded global ids
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    time: jnp.ndarray,
+    pixel_ids: jnp.ndarray,
+    sample_ids: jnp.ndarray,
+    background,
+    max_depth: int,
+    seed,
+    active0=None,
+    interpret: bool | None = None,
+):
+    """Drop-in for replay_trace/replay_trace_fast on the kernel path:
+    bit-identical radiance/segments, gradients w.r.t. SCENE parameters
+    only (rays/camera are stop-gradiented here — use replay_trace_fast
+    for camera grads). B must be a multiple of ROWS·TILE (2048)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B = o.shape[0]
+    rows = B // TILE
+    assert rows % ROWS == 0, f"batch must be a multiple of {ROWS * TILE}"
+    D = max_depth
+    table = rf.build_replay_table(scene)
+    L = table.shape[0]
+    F = rf.N_FIELDS
+    import numpy as np
+
+    if isinstance(background, jax.core.Tracer):
+        raise TypeError(
+            "replay_trace_kernel bakes the background into the kernel — "
+            "pass a static value (e.g. cfg.background), not a traced array")
+    bg_np = np.asarray(background, np.float32)
+    fwd_run, bwd_run = make_replay_kernels(
+        L, D, bg_np, scene.n_spheres,
+        scene.flags.has_moving, interpret=interpret)
+
+    sg = jax.lax.stop_gradient
+    o, d, time = sg(o), sg(d), sg(time)
+
+    def r2(x):
+        return x.reshape(rows, TILE)
+
+    ids3 = ids.reshape(D, rows, TILE)
+    ox, oy, oz = r2(o[:, 0]), r2(o[:, 1]), r2(o[:, 2])
+    dx, dy, dz = r2(d[:, 0]), r2(d[:, 1]), r2(d[:, 2])
+    tm = r2(time)
+    pix = r2(pixel_ids.astype(jnp.int32))
+    smp = r2(sample_ids.astype(jnp.int32))
+    act = (jnp.ones((rows, TILE), jnp.float32) if active0 is None
+           else r2(active0.astype(jnp.float32)))
+    seed_arr = jnp.asarray([seed], jnp.uint32)
+
+    def _impl(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
+              seed_arr):
+        rep = jnp.repeat(table.T, ROWS, axis=0)
+        rr, rg, rb, bc = fwd_run(rep, ids3, ox, oy, oz, dx, dy, dz, tm,
+                                 pix, smp, act, seed_arr)
+        radiance = jnp.stack(
+            [rr.reshape(B), rg.reshape(B), rb.reshape(B)], axis=-1)
+        return radiance, jnp.sum(bc)
+
+    @jax.custom_vjp
+    def run(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
+            seed_arr):
+        return _impl(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
+                     act, seed_arr)
+
+    def run_fwd(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
+                seed_arr):
+        out = _impl(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
+                    act, seed_arr)
+        return out, (table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
+                     act, seed_arr)
+
+    def run_bwd(res, cot):
+        (table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
+         seed_arr) = res
+        rad_bar, _seg_bar = cot
+        rep = jnp.repeat(table.T, ROWS, axis=0)
+        g = bwd_run(rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
+                    r2(rad_bar[:, 0]), r2(rad_bar[:, 1]),
+                    r2(rad_bar[:, 2]), seed_arr)
+        steps = rows // ROWS
+        g5 = g.reshape(steps, D, NG, ROWS, TILE)
+        ids_flat = ids3.reshape(D, B)
+        acc = jnp.zeros((L, NG), jnp.float32)
+        arangeL = jnp.arange(L, dtype=jnp.int32)
+        for b in range(D):
+            gm = g5[:, b].transpose(0, 2, 3, 1).reshape(B, NG)
+            idb = jnp.clip(jnp.where(ids_flat[b] >= 0, ids_flat[b], 0),
+                           0, L - 1)
+            oh = (idb[:, None] == arangeL[None, :]).astype(jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                oh, gm, dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+        cols = [jnp.zeros((L,), jnp.float32)] * F
+        for tc, gs in _TABLE_GRAD_COLS:
+            cols[tc] = acc[:, gs]
+        tbar = jnp.stack(cols, axis=1)
+        zf = jnp.zeros_like
+        return (tbar, _float0(ids3), zf(ox), zf(oy), zf(oz), zf(dx),
+                zf(dy), zf(dz), zf(tm), _float0(pix), _float0(smp),
+                zf(act), _float0(seed_arr))
+
+    run.defvjp(run_fwd, run_bwd)
+    return run(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
+               seed_arr)

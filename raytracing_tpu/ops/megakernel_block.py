@@ -107,7 +107,8 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                           unroll: bool = False, ablate: tuple = (),
                           want_state: bool = True, want_ids: bool = False,
                           use_clusters: bool | None = None,
-                          depth_cap: int | None = None):
+                          depth_cap: int | None = None,
+                          n_sub_max: int | None = None):
     """Build the block-layout megakernel for one phase.
 
     ``depth_cap`` (the pool/regeneration mode, render/pool.py): rays in
@@ -167,6 +168,13 @@ def make_megakernel_block(mega, *, max_depth: int, background,
     bg_r, bg_g, bg_b = (float(background[0]), float(background[1]),
                         float(background[2]))
     U = fl
+    if n_sub_max is None:
+        # measured (v5e, final scene): raising n_sub past 8 does NOT pay —
+        # phased unchanged (56.4M), pool −7% (51.9 vs 55.7M rays/s);
+        # bigger steps hurt the software pipeline more than the ~21 µs
+        # per-step fixed cost they amortize. Kept as a knob for bigger
+        # scenes/kernels.
+        n_sub_max = 8
     cbox = mega.sph_cluster_boxes
     if use_clusters is None:
         # measured (v5e, final scene end-to-end): 49.4M rays/s clustered
@@ -972,8 +980,8 @@ def make_megakernel_block(mega, *, max_depth: int, background,
         n_rows = ox.shape[0]
         assert n_rows % GROUPS == 0
         n_sub = 1
-        for cand in (8, 4, 2):
-            if (n_rows // GROUPS) % cand == 0:
+        for cand in (32, 16, 8, 4, 2):
+            if cand <= n_sub_max and (n_rows // GROUPS) % cand == 0:
                 n_sub = cand
                 break
         step_rows = GROUPS * n_sub
