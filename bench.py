@@ -208,7 +208,7 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
                 rays_per_s=total_segments / dt)
 
 
-def _bench_fwd_bwd_subprocess(timeout_s: int = 240):
+def _bench_fwd_bwd_subprocess(timeout_s: int = 480):
     """Run the fwd+bwd benchmark in a subprocess with a hard timeout: the
     remote TPU compiler occasionally hangs for >10 minutes on the XLA grad
     program, and a hang here must not prevent the forward metric line from
