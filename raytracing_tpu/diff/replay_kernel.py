@@ -533,76 +533,128 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
 
     def fwd_kernel(tab_ref, ids_ref, ox_ref, oy_ref, oz_ref,
                    dx_ref, dy_ref, dz_ref, tm_ref, pix_ref, smp_ref,
-                   act_ref, seed_ref, rr_ref, rg_ref, rb_ref, bc_ref):
+                   act_ref, seed_ref, ml_ref, rr_ref, rg_ref, rb_ref,
+                   bc_ref, cur):
+        """Per-tile path-length gating: ``ml_ref`` holds this grid step's
+        max recorded bounce count; bounces ``b >= ml`` have every lane
+        dead (bounce_fwd is the identity there), so the whole unrolled
+        bounce — table gathers included — is skipped under ``pl.when``.
+        State lives in the ``cur`` scratch so it persists across the
+        conditional regions (values cannot escape a pl.when body)."""
         seed = seed_ref[0]
+        ml = ml_ref[0]
         z = jnp.zeros((ROWS, TILE), jnp.float32)
         pixu = pix_ref[...].astype(jnp.uint32)
         smpu = smp_ref[...].astype(jnp.uint32)
         seed_t = jnp.full((ROWS, TILE), jnp.uint32(0)) + seed
-        st = (ox_ref[...], oy_ref[...], oz_ref[...],
-              dx_ref[...], dy_ref[...], dz_ref[...],
-              z, z, z,
-              z + 1.0, z + 1.0, z + 1.0, act_ref[...])
         tm = tm_ref[...]
-        bc = z
+        init = (ox_ref[...], oy_ref[...], oz_ref[...],
+                dx_ref[...], dy_ref[...], dz_ref[...],
+                z, z, z,
+                z + 1.0, z + 1.0, z + 1.0, act_ref[...], z)
+        for q, val in enumerate(init):
+            cur[q * ROWS:(q + 1) * ROWS, :] = val
         for b in range(D):
-            ids_b = ids_ref[b]
-            pid = jnp.where(ids_b >= 0, ids_b, 0)
-            v = _resolve(tab_ref, pid, F, n_chunks)
-            bc = bc + jnp.where(st[12] > 0.5, 1.0, 0.0)
-            st, _ = bounce_fwd(v, ids_b, st, tm, pixu, smpu, seed_t, b)
-        rr_ref[...] = st[6]
-        rg_ref[...] = st[7]
-        rb_ref[...] = st[8]
-        bc_ref[...] = bc.astype(jnp.int32)
+            @pl.when(b < ml)
+            def _(b=b):
+                st = tuple(cur[q * ROWS:(q + 1) * ROWS, :]
+                           for q in range(13))
+                bc = cur[13 * ROWS:14 * ROWS, :]
+                ids_b = ids_ref[b]
+                pid = jnp.where(ids_b >= 0, ids_b, 0)
+                v = _resolve(tab_ref, pid, F, n_chunks)
+                cur[13 * ROWS:14 * ROWS, :] = bc + jnp.where(
+                    st[12] > 0.5, 1.0, 0.0)
+                st2, _ = bounce_fwd(v, ids_b, st, tm, pixu, smpu,
+                                    seed_t, b)
+                for q in range(13):
+                    cur[q * ROWS:(q + 1) * ROWS, :] = st2[q]
+        rr_ref[...] = cur[6 * ROWS:7 * ROWS, :]
+        rg_ref[...] = cur[7 * ROWS:8 * ROWS, :]
+        rb_ref[...] = cur[8 * ROWS:9 * ROWS, :]
+        bc_ref[...] = cur[13 * ROWS:14 * ROWS, :].astype(jnp.int32)
 
     def bwd_kernel(tab_ref, ids_ref, ox_ref, oy_ref, oz_ref,
                    dx_ref, dy_ref, dz_ref, tm_ref, pix_ref, smp_ref,
-                   act_ref, rbr_ref, rbg_ref, rbb_ref, seed_ref,
-                   g_ref, stash, fstash):
+                   act_ref, rbr_ref, rbg_ref, rbb_ref, seed_ref, ml_ref,
+                   g_ref, stash, fstash, cur, adjr):
+        """Both sweeps are gated per tile like fwd_kernel: a bounce with
+        every lane dead is the identity on state forward and on the
+        adjoints backward, and contributes zero table gradients — so it
+        is skipped in both directions and its g_ref rows are zeroed."""
         seed = seed_ref[0]
+        ml = ml_ref[0]
         z = jnp.zeros((ROWS, TILE), jnp.float32)
         pixu = pix_ref[...].astype(jnp.uint32)
         smpu = smp_ref[...].astype(jnp.uint32)
         seed_t = jnp.full((ROWS, TILE), jnp.uint32(0)) + seed
         tm = tm_ref[...]
-        st = (ox_ref[...], oy_ref[...], oz_ref[...],
-              dx_ref[...], dy_ref[...], dz_ref[...],
-              z, z, z,
-              z + 1.0, z + 1.0, z + 1.0, act_ref[...])
+        init = (ox_ref[...], oy_ref[...], oz_ref[...],
+                dx_ref[...], dy_ref[...], dz_ref[...],
+                z, z, z,
+                z + 1.0, z + 1.0, z + 1.0, act_ref[...])
+        for q, val in enumerate(init):
+            cur[q * ROWS:(q + 1) * ROWS, :] = val
         # forward sweep, stashing each bounce's entry state
         for b in range(D):
-            for q, val in enumerate((st[0], st[1], st[2], st[3], st[4],
-                                     st[5], st[9], st[10], st[11], st[12])):
-                stash[(b * 10 + q) * ROWS:(b * 10 + q + 1) * ROWS, :] = val
-            ids_b = ids_ref[b]
-            pid = jnp.where(ids_b >= 0, ids_b, 0)
-            v = _resolve(tab_ref, pid, F, n_chunks)
-            # stash the resolved fields too: the table gathers are ~95%
-            # of a bounce's kernel time (measured); re-reading beats
-            # re-gathering in the reverse sweep
-            for f in range(F):
-                fstash[(b * F + f) * ROWS:(b * F + f + 1) * ROWS, :] = v[f]
-            st, _ = bounce_fwd(v, ids_b, st, tm, pixu, smpu, seed_t, b)
+            @pl.when(b < ml)
+            def _(b=b):
+                st = tuple(cur[q * ROWS:(q + 1) * ROWS, :]
+                           for q in range(13))
+                for q, val in enumerate((st[0], st[1], st[2], st[3], st[4],
+                                         st[5], st[9], st[10], st[11],
+                                         st[12])):
+                    stash[(b * 10 + q) * ROWS:
+                          (b * 10 + q + 1) * ROWS, :] = val
+                ids_b = ids_ref[b]
+                pid = jnp.where(ids_b >= 0, ids_b, 0)
+                v = _resolve(tab_ref, pid, F, n_chunks)
+                # stash the resolved fields too: the table gathers are
+                # ~95% of a bounce's kernel time (measured); re-reading
+                # beats re-gathering in the reverse sweep
+                for f in range(F):
+                    fstash[(b * F + f) * ROWS:
+                           (b * F + f + 1) * ROWS, :] = v[f]
+                st2, _ = bounce_fwd(v, ids_b, st, tm, pixu, smpu,
+                                    seed_t, b)
+                for q in range(13):
+                    cur[q * ROWS:(q + 1) * ROWS, :] = st2[q]
         # backward sweep
         rad_bar = (rbr_ref[...], rbg_ref[...], rbb_ref[...])
-        adj = (z, z, z, z, z, z, z, z, z)  # thr(3), o(3), d(3)
+        for q in range(9):  # thr(3), o(3), d(3)
+            adjr[q * ROWS:(q + 1) * ROWS, :] = z
         for b in range(D - 1, -1, -1):
-            def ld(q):
-                return stash[(b * 10 + q) * ROWS:(b * 10 + q + 1) * ROWS, :]
-            st_e = (ld(0), ld(1), ld(2), ld(3), ld(4), ld(5),
-                    z, z, z, ld(6), ld(7), ld(8), ld(9))
-            ids_b = ids_ref[b]
-            v = [fstash[(b * F + f) * ROWS:(b * F + f + 1) * ROWS, :]
-                 for f in range(F)]
-            _, inter = bounce_fwd(v, ids_b, st_e, tm, pixu, smpu, seed_t, b)
-            adj, grads = bounce_bwd(inter, st_e, adj, rad_bar, tm)
-            for g in range(NG):
-                g_ref[(b * NG + g) * ROWS:(b * NG + g + 1) * ROWS, :] = \
-                    grads[g]
+            @pl.when(b >= ml)
+            def _(b=b):
+                g_ref[b * NG * ROWS:(b + 1) * NG * ROWS, :] = jnp.zeros(
+                    (NG * ROWS, TILE), jnp.float32)
+
+            @pl.when(b < ml)
+            def _(b=b):
+                def ld(q):
+                    return stash[(b * 10 + q) * ROWS:
+                                 (b * 10 + q + 1) * ROWS, :]
+                st_e = (ld(0), ld(1), ld(2), ld(3), ld(4), ld(5),
+                        z, z, z, ld(6), ld(7), ld(8), ld(9))
+                ids_b = ids_ref[b]
+                v = [fstash[(b * F + f) * ROWS:(b * F + f + 1) * ROWS, :]
+                     for f in range(F)]
+                _, inter = bounce_fwd(v, ids_b, st_e, tm, pixu, smpu,
+                                      seed_t, b)
+                adj = tuple(adjr[q * ROWS:(q + 1) * ROWS, :]
+                            for q in range(9))
+                adj2, grads = bounce_bwd(inter, st_e, adj, rad_bar, tm)
+                for q in range(9):
+                    adjr[q * ROWS:(q + 1) * ROWS, :] = adj2[q]
+                for g in range(NG):
+                    g_ref[(b * NG + g) * ROWS:(b * NG + g + 1) * ROWS,
+                          :] = grads[g]
+
+    # per-grid-step tile maxlen: one SMEM scalar per (ROWS, TILE) tile
+    mlspec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
 
     def fwd_run(table_rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
-                act, seed_arr):
+                act, seed_arr, maxlen):
         n_rows = ox.shape[0]
         assert n_rows % ROWS == 0
         grid = (n_rows // ROWS,)
@@ -616,16 +668,18 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, ROWS, TILE), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-            ] + [rspec] * 10 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            ] + [rspec] * 10 + [pl.BlockSpec(memory_space=pltpu.SMEM),
+                                mlspec],
             out_specs=[rspec] * 3 + [rspec],
             out_shape=[jax.ShapeDtypeStruct((n_rows, TILE), jnp.float32)] * 3
             + [jax.ShapeDtypeStruct((n_rows, TILE), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((14 * ROWS, TILE), jnp.float32)],
             interpret=interpret,
         )(table_rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
-          seed_arr)
+          seed_arr, maxlen)
 
     def bwd_run(table_rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
-                act, rbr, rbg, rbb, seed_arr):
+                act, rbr, rbg, rbb, seed_arr, maxlen):
         n_rows = ox.shape[0]
         grid = (n_rows // ROWS,)
         rspec = pl.BlockSpec((ROWS, TILE), lambda i: (i, 0),
@@ -638,7 +692,8 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, ROWS, TILE), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-            ] + [rspec] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            ] + [rspec] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM),
+                                mlspec],
             out_specs=pl.BlockSpec((D * NG * ROWS, TILE), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_rows * D * NG, TILE),
@@ -646,10 +701,12 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
             scratch_shapes=[
                 pltpu.VMEM((D * 10 * ROWS, TILE), jnp.float32),
                 pltpu.VMEM((D * rf.N_FIELDS * ROWS, TILE), jnp.float32),
+                pltpu.VMEM((13 * ROWS, TILE), jnp.float32),
+                pltpu.VMEM((9 * ROWS, TILE), jnp.float32),
             ],
             interpret=interpret,
         )(table_rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
-          rbr, rbg, rbb, seed_arr)
+          rbr, rbg, rbb, seed_arr, maxlen)
 
     return fwd_run, bwd_run
 
@@ -673,11 +730,32 @@ def replay_trace_kernel(
     seed,
     active0=None,
     interpret: bool | None = None,
+    lengths=None,
+    radiance_in=None,
 ):
     """Drop-in for replay_trace/replay_trace_fast on the kernel path:
     bit-identical radiance/segments, gradients w.r.t. SCENE parameters
     only (rays/camera are stop-gradiented here — use replay_trace_fast
-    for camera grads). B must be a multiple of ROWS·TILE (2048)."""
+    for camera grads). B must be a multiple of ROWS·TILE (2048).
+
+    ``lengths``: optional (B,) i32 exact per-ray bounce counts from the
+    decision pass (``trace_megakernel(want_counts=True)``). Each kernel
+    grid step then skips bounces past its 1024-ray tile's max count —
+    bit-identical output, and with the final scene's ~2.7 mean path
+    length at depth 20 most of the unrolled bounces never execute
+    (camera tiles are spatially coherent, so tile maxima stay low).
+    ``radiance_in``: optional precomputed (B, 3) radiance — normally the
+    decision pass's own output. When given with ``lengths`` the forward
+    kernel is skipped entirely: radiance and segments come from the
+    decision pass, the custom VJP still runs the backward kernel. Note
+    the megakernel's radiance can differ from the replay's on rare rays
+    (~1/2048 observed): the block kernel computes unit vectors with
+    ``rsqrt(x+1e-30)`` where the replay mirrors the integrator's
+    ``sqrt``+divide, and an ulp difference can flip a Schlick or
+    metal-absorb *decision* the recorded ids do not capture. The
+    megakernel value is the renderer's actual output, so it is the more
+    faithful forward value; the replay VJP at such rays is approximate
+    either way (decision boundaries are nondifferentiable)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B = o.shape[0]
@@ -713,37 +791,56 @@ def replay_trace_kernel(
     act = (jnp.ones((rows, TILE), jnp.float32) if active0 is None
            else r2(active0.astype(jnp.float32)))
     seed_arr = jnp.asarray([seed], jnp.uint32)
+    n_steps = rows // ROWS
+    if lengths is None:
+        maxlen = jnp.full((n_steps,), D, jnp.int32)
+        seg_pre = None
+    else:
+        lengths = sg(lengths).astype(jnp.int32)
+        maxlen = jnp.minimum(
+            lengths.reshape(n_steps, ROWS * TILE).max(axis=1), D)
+        seg_pre = jnp.sum(lengths)
+    use_pre = radiance_in is not None
+    if use_pre:
+        assert seg_pre is not None, "radiance_in requires lengths"
+        rad_pre = sg(radiance_in)
+    else:
+        # dummy operands so the custom_vjp signature is uniform
+        rad_pre = jnp.zeros((1, 3), jnp.float32)
+        seg_pre = jnp.zeros((), jnp.int32)
 
     def _impl(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
-              seed_arr):
+              seed_arr, maxlen, rad_pre, seg_pre):
+        if use_pre:
+            return rad_pre, seg_pre
         rep = jnp.repeat(table.T, ROWS, axis=0)
         rr, rg, rb, bc = fwd_run(rep, ids3, ox, oy, oz, dx, dy, dz, tm,
-                                 pix, smp, act, seed_arr)
+                                 pix, smp, act, seed_arr, maxlen)
         radiance = jnp.stack(
             [rr.reshape(B), rg.reshape(B), rb.reshape(B)], axis=-1)
         return radiance, jnp.sum(bc)
 
     @jax.custom_vjp
     def run(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
-            seed_arr):
+            seed_arr, maxlen, rad_pre, seg_pre):
         return _impl(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
-                     act, seed_arr)
+                     act, seed_arr, maxlen, rad_pre, seg_pre)
 
     def run_fwd(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
-                seed_arr):
+                seed_arr, maxlen, rad_pre, seg_pre):
         out = _impl(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
-                    act, seed_arr)
+                    act, seed_arr, maxlen, rad_pre, seg_pre)
         return out, (table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
-                     act, seed_arr)
+                     act, seed_arr, maxlen)
 
     def run_bwd(res, cot):
         (table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
-         seed_arr) = res
+         seed_arr, maxlen) = res
         rad_bar, _seg_bar = cot
         rep = jnp.repeat(table.T, ROWS, axis=0)
         g = bwd_run(rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
                     r2(rad_bar[:, 0]), r2(rad_bar[:, 1]),
-                    r2(rad_bar[:, 2]), seed_arr)
+                    r2(rad_bar[:, 2]), seed_arr, maxlen)
         steps = rows // ROWS
         g5 = g.reshape(steps, D, NG, ROWS, TILE)
         ids_flat = ids3.reshape(D, B)
@@ -764,8 +861,10 @@ def replay_trace_kernel(
         zf = jnp.zeros_like
         return (tbar, _float0(ids3), zf(ox), zf(oy), zf(oz), zf(dx),
                 zf(dy), zf(dz), zf(tm), _float0(pix), _float0(smp),
-                zf(act), _float0(seed_arr))
+                zf(act), _float0(seed_arr), _float0(maxlen),
+                jnp.zeros((B, 3) if use_pre else (1, 3), jnp.float32),
+                _float0(jnp.zeros((), jnp.int32)))
 
     run.defvjp(run_fwd, run_bwd)
     return run(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
-               seed_arr)
+               seed_arr, maxlen, rad_pre, seg_pre)

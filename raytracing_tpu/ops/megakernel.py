@@ -1080,6 +1080,7 @@ def trace_megakernel(
     sort_mode: str = "alive",   # "alive" | "coherent" inter-phase compaction
     layout: str | None = None,  # "block" | "group" | None (auto)
     want_ids: bool = False,     # also return per-bounce winner ids
+    want_counts: bool = False,  # also return per-ray exact bounce counts
     use_clusters: bool | None = None,  # block kernel AABB cluster culling
     regen=None,  # (perm (B,) i32) -> (tm, pix, smp): recompute instead of sort
     sort_regions: int = 1,  # compact within R independent regions (batched sort)
@@ -1153,6 +1154,14 @@ def trace_megakernel(
             "the block-layout kernel has no BVH walk (use layout='group')"
     if want_ids:
         assert layout == "block", "want_ids requires the block layout"
+    if want_counts:
+        # per-ray exact bounce counts (B,) i32 in original ray order:
+        # sum(counts) == segments. Accumulated in the current permuted
+        # layout as one more state column riding the boundary sorts, then
+        # restored with the final unpermute. Feeds the replay kernels'
+        # per-tile path-length gating (diff/replay_kernel.py).
+        assert layout == "block", "want_counts requires the block layout"
+        state["bcc"] = jnp.zeros((rows, TILE), jnp.int32)
 
     ids_rows = []  # (pd, B) global-id blocks, already in original ray order
 
@@ -1199,6 +1208,8 @@ def trace_megakernel(
                 rr, rg, rb, bc = out
                 segments = segments + jnp.sum(bc)
                 state.update(rr=rr, rg=rg, rb=rb)
+                if want_counts:
+                    state["bcc"] = state["bcc"] + bc
                 break
         else:
             runp = make_megakernel(mega, max_depth=pd, background=background,
@@ -1214,6 +1225,8 @@ def trace_megakernel(
                        state["rr"], state["rg"], state["rb"], state["act"], so)
         (rr, rg, rb, bc, ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2, act2) = out
         segments = segments + jnp.sum(bc)
+        if want_counts:
+            state["bcc"] = state["bcc"] + bc
         state.update(ox=ox2, oy=oy2, oz=oz2, dx=dx2, dy=dy2, dz=dz2,
                      rr=rr, rg=rg, rb=rb, tr=tr2, tg=tg2, tb=tb2, act=act2)
         offset += pd
@@ -1332,17 +1345,22 @@ def trace_megakernel(
     # regional compaction every boundary permuted only within regions, so
     # the restore can be regional too (perm values of region r all lie in
     # region r's index range).
+    counts = None
     if len(phase_depths) > 1:
         un_ops = [perm, state["rr"].reshape(B), state["rg"].reshape(B),
                   state["rb"].reshape(B)]
+        if want_counts:
+            un_ops.append(state["bcc"].reshape(B))
         if sort_regions > 1:
             L = B // sort_regions
             un_ops = [x.reshape(sort_regions, L) for x in un_ops]
-            out = jax.lax.sort(un_ops, num_keys=1, is_stable=False)
-            _, rr, rg, rb = [x.reshape(B) for x in out]
+            out = [x.reshape(B) for x in jax.lax.sort(
+                un_ops, num_keys=1, is_stable=False)]
         else:
-            _, rr, rg, rb = jax.lax.sort(
-                un_ops, num_keys=1, is_stable=False)
+            out = jax.lax.sort(un_ops, num_keys=1, is_stable=False)
+        rr, rg, rb = out[1], out[2], out[3]
+        if want_counts:
+            counts = out[4]
         rr = rr + rad0[0].reshape(B)
         rg = rg + rad0[1].reshape(B)
         rb = rb + rad0[2].reshape(B)
@@ -1350,8 +1368,15 @@ def trace_megakernel(
         rr = state["rr"].reshape(B)
         rg = state["rg"].reshape(B)
         rb = state["rb"].reshape(B)
+        if want_counts:
+            counts = state["bcc"].reshape(B)
     radiance = jnp.stack([rr, rg, rb], axis=-1)
+    extras = []
     if want_ids:
-        return radiance, segments, jnp.concatenate(ids_rows, axis=0)
+        extras.append(jnp.concatenate(ids_rows, axis=0))
+    if want_counts:
+        extras.append(counts)
+    if extras:
+        return (radiance, segments, *extras)
     return radiance, segments
 

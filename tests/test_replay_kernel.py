@@ -85,6 +85,74 @@ class TestReplayKernel:
             np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                        rtol=3e-5, atol=3e-6)
 
+    @pytest.mark.parametrize("name", ["bouncing_spheres", "cornell_box"])
+    def test_path_length_gating_exact(self, name):
+        """Per-tile bounce gating (lengths from the decision pass's
+        want_counts) must be BIT-identical to the ungated replay —
+        forward radiance, segment count, and gradients."""
+        (scene, ids, o, d, t, pix, smp, bg, depth, seed,
+         act0) = _setup(name, depth=6)
+        from raytracing_tpu.ops.megakernel import (
+            build_mega_scene, trace_megakernel,
+        )
+        mega = build_mega_scene(scene)
+        mrad, mseg, ids2, cnt = trace_megakernel(
+            mega, o, d, t, pix, smp, bg, depth, jnp.uint32(seed),
+            interpret=True, active0=act0, want_ids=True, want_counts=True,
+            layout="block")
+        # counts: exact per-ray liveness — sums to segments, zero on
+        # dead-start padding lanes
+        assert int(cnt.sum()) == int(mseg)
+        n_live = int(np.asarray(act0).sum())
+        assert int(cnt[n_live:].sum()) == 0
+
+        r0, s0 = replay_trace_kernel(scene, ids2, o, d, t, pix, smp, bg,
+                                     depth, jnp.uint32(seed), active0=act0)
+        r1, s1 = replay_trace_kernel(scene, ids2, o, d, t, pix, smp, bg,
+                                     depth, jnp.uint32(seed), active0=act0,
+                                     lengths=cnt)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
+        assert int(s1) == int(s0)
+
+        def loss(kw, center, rgb):
+            s = scene.replace(
+                spheres=scene.spheres.replace(center=center),
+                textures=scene.textures.replace(rgb=rgb))
+            out, _ = replay_trace_kernel(
+                s, ids2, o, d, t, pix, smp, bg, depth, jnp.uint32(seed),
+                active0=act0, **kw)
+            return jnp.sum(out * out)
+
+        args = (scene.spheres.center, scene.textures.rgb)
+        g0 = jax.grad(lambda *a: loss({}, *a), argnums=(0, 1))(*args)
+        g1 = jax.grad(lambda *a: loss(dict(lengths=cnt), *a),
+                      argnums=(0, 1))(*args)
+        for a, b in zip(g0, g1):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+        # radiance_in: forward kernel skipped — returns the given
+        # radiance and the decision pass's segment count; with a LINEAR
+        # loss (rad_bar independent of the forward value) the gradients
+        # are bit-identical to the gated replay's.
+        r2, s2 = replay_trace_kernel(scene, ids2, o, d, t, pix, smp, bg,
+                                     depth, jnp.uint32(seed), active0=act0,
+                                     lengths=cnt, radiance_in=mrad)
+        np.testing.assert_array_equal(np.asarray(r2), np.asarray(mrad))
+        assert int(s2) == int(mseg)
+
+        def lin_loss(kw, center):
+            s = scene.replace(spheres=scene.spheres.replace(center=center))
+            out, _ = replay_trace_kernel(
+                s, ids2, o, d, t, pix, smp, bg, depth, jnp.uint32(seed),
+                active0=act0, **kw)
+            return jnp.sum(out)
+
+        gl1 = jax.grad(lambda c: lin_loss(dict(lengths=cnt), c))(
+            scene.spheres.center)
+        gl2 = jax.grad(lambda c: lin_loss(
+            dict(lengths=cnt, radiance_in=mrad), c))(scene.spheres.center)
+        np.testing.assert_array_equal(np.asarray(gl2), np.asarray(gl1))
+
     def test_material_param_grads(self):
         """fuzz (metal) and ior (dielectric) gradients through the
         kernel's hand-written normalize/reflect/refract VJPs."""
