@@ -130,15 +130,15 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
         from raytracing_tpu.ops.megakernel import make_regen
 
         o, d, t, smp = make_rays(sample0)
-        _, _, ids = trace_megakernel(
+        rad, _, ids, cnt = trace_megakernel(
             mega, o, d, t, pix, smp, cfg.background, max_depth,
             jnp.uint32(seed), phase_depths=phases, active0=act0,
-            want_ids=True,
+            want_ids=True, want_counts=True,
             regen=make_regen(n_pix, npix_pad, spp_chunk, jnp.int32(0),
                              sample0, jnp.uint32(seed),
                              scene.flags.has_moving),
         )
-        return ids
+        return rad, ids, cnt
 
     # Pallas fwd+bwd replay kernels (diff/replay_kernel.py) when the
     # scene's textures allow and the batch aligns; packed-table XLA
@@ -153,16 +153,22 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     else:
         replay_fn = replay_trace
 
-    def loss(center, rgb, sample0, ids):
+    gated = replay_fn is replay_trace_kernel
+
+    def loss(center, rgb, sample0, ids, rad_pre, cnt):
         s = scene.replace(
             spheres=scene.spheres.replace(center=center),
             textures=scene.textures.replace(rgb=rgb),
         )
         o, d, t, smp = make_rays(sample0)
+        # kernel path: per-tile path-length gating from the decision
+        # pass's exact counts, and the decision pass's radiance reused as
+        # the forward value (the fwd replay kernel is skipped entirely)
+        kw = (dict(lengths=cnt, radiance_in=rad_pre) if gated else {})
         rad, seg = replay_fn(
             s, ids, o, d, t, pix, smp, cfg.background, max_depth,
             jnp.uint32(seed),
-            active0=act0,
+            active0=act0, **kw,
         )
         img = (rad * act0[:, None]).reshape(spp_chunk, npix_pad, 3)
         img = img.mean(axis=0)[:n_pix].reshape(
@@ -183,8 +189,8 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
         def body(c, carry):
             gc, gr, segs = carry
             s0 = (c * spp_chunk).astype(jnp.int32)
-            ids = decide(s0)
-            (_, seg), grads = g(center, rgb, s0, ids)
+            rad_pre, ids, cnt = decide(s0)
+            (_, seg), grads = g(center, rgb, s0, ids, rad_pre, cnt)
             return (gc + grads[0], gr + grads[1], segs + seg)
 
         init = (jnp.zeros_like(center), jnp.zeros_like(rgb),

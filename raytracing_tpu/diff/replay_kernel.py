@@ -542,7 +542,7 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
         State lives in the ``cur`` scratch so it persists across the
         conditional regions (values cannot escape a pl.when body)."""
         seed = seed_ref[0]
-        ml = ml_ref[0]
+        ml = ml_ref[pl.program_id(0)]
         z = jnp.zeros((ROWS, TILE), jnp.float32)
         pixu = pix_ref[...].astype(jnp.uint32)
         smpu = smp_ref[...].astype(jnp.uint32)
@@ -583,7 +583,7 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
         adjoints backward, and contributes zero table gradients — so it
         is skipped in both directions and its g_ref rows are zeroed."""
         seed = seed_ref[0]
-        ml = ml_ref[0]
+        ml = ml_ref[pl.program_id(0)]
         z = jnp.zeros((ROWS, TILE), jnp.float32)
         pixu = pix_ref[...].astype(jnp.uint32)
         smpu = smp_ref[...].astype(jnp.uint32)
@@ -650,8 +650,9 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
                     g_ref[(b * NG + g) * ROWS:(b * NG + g + 1) * ROWS,
                           :] = grads[g]
 
-    # per-grid-step tile maxlen: one SMEM scalar per (ROWS, TILE) tile
-    mlspec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    # per-grid-step tile maxlen, indexed by program_id in-kernel (Mosaic
+    # requires rank-1 SMEM blocks to be whole-array or 128-multiples)
+    mlspec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def fwd_run(table_rep, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp,
                 act, seed_arr, maxlen):
