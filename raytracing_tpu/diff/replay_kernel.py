@@ -79,11 +79,21 @@ _TABLE_GRAD_COLS = (
 )
 
 
-def _resolve(tab_ref, idx, F, n_chunks):
+def _resolve(tab_ref, idx, F, n_chunks, const_fields=None, zero=None):
     """All F packed fields for an (R, T) id tile: chunked lane gathers
-    from the R-sublane-replicated table (the resolve() trick)."""
+    from the R-sublane-replicated table (the resolve() trick).
+
+    ``const_fields`` maps field index → scalar for fields the scene
+    makes constant (e.g. the quad plane columns of a sphere-only scene):
+    those skip the gather entirely — the gathers are ~95% of a replay
+    bounce's kernel time (measured), so dropping dead fields is the
+    cheapest speedup available. The replicated table rows for skipped
+    fields are still present (layout unchanged); they are just unread."""
     vals = []
     for f in range(F):
+        if const_fields is not None and f in const_fields:
+            vals.append(zero + jnp.float32(const_fields[f]))
+            continue
         rows = None
         for c in range(n_chunks):
             local = jnp.clip(idx - c * TILE, 0, TILE - 1)
@@ -99,11 +109,55 @@ def _resolve(tab_ref, idx, F, n_chunks):
     return vals
 
 
+def scene_const_fields(scene) -> dict:
+    """Packed-table fields that are structurally constant for this scene
+    (from scene *structure* only, never traced values, so the dict is a
+    compile-time constant). Values must equal what build_replay_table
+    writes for every row the recorded ids can reference."""
+    const = {}
+    if scene.n_quads == 0:
+        # quad columns are all-zero for sphere rows (build_replay_table
+        # rows_s); the bounce math only reads them under is_quad, which
+        # is False for every sphere id, but the values still flow through
+        # masked arithmetic — zeros keep sden/t_q finite exactly like the
+        # real table's zeros do.
+        const[rf._F_ISQUAD] = 0.0
+        const[rf._F_QN] = 0.0
+        const[rf._F_QN + 1] = 0.0
+        const[rf._F_QN + 2] = 0.0
+        const[rf._F_QD] = 0.0
+    if not scene.flags.has_moving:
+        const[rf._F_G1] = 0.0
+        const[rf._F_G1 + 1] = 0.0
+        const[rf._F_G1 + 2] = 0.0
+    if not scene.flags.has_checker:
+        # no checker textures anywhere: is_chk == 0 for all rows, odd rgb
+        # mirrors even rgb but is never selected (use_even all-True), and
+        # scale packs as 0
+        const[rf._F_ISCHK] = 0.0
+        const[rf._F_INVSC] = 0.0
+        # with is_chk == 0 everywhere use_even is all-True, so the odd
+        # rgb is never selected forward and its cotangent w_(~ue, ·) is
+        # identically zero — constants are safe
+        const[rf._F_RGB_O] = 0.0
+        const[rf._F_RGB_O + 1] = 0.0
+        const[rf._F_RGB_O + 2] = 0.0
+    return const
+
+
 def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
-                        interpret=False, tmin=T_MIN):
-    """Build (fwd_run, bwd_run) for a packed replay table of L rows."""
+                        interpret=False, tmin=T_MIN, const_fields=None):
+    """Build (fwd_run, bwd_run) for a packed replay table of L rows.
+
+    ``const_fields`` (see scene_const_fields): fields resolved as
+    compile-time constants instead of lane gathers; the backward kernel
+    also drops them from its per-bounce field stash."""
     F = rf.N_FIELDS
     n_chunks = L // TILE
+    gather_fields = [f for f in range(F)
+                     if not (const_fields and f in const_fields)]
+    NF_g = len(gather_fields)
+    gslot = {f: k for k, f in enumerate(gather_fields)}
     bg_r, bg_g, bg_b = (float(background[0]), float(background[1]),
                         float(background[2]))
     D = max_depth
@@ -562,7 +616,7 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
                 bc = cur[13 * ROWS:14 * ROWS, :]
                 ids_b = ids_ref[b]
                 pid = jnp.where(ids_b >= 0, ids_b, 0)
-                v = _resolve(tab_ref, pid, F, n_chunks)
+                v = _resolve(tab_ref, pid, F, n_chunks, const_fields, z)
                 cur[13 * ROWS:14 * ROWS, :] = bc + jnp.where(
                     st[12] > 0.5, 1.0, 0.0)
                 st2, _ = bounce_fwd(v, ids_b, st, tm, pixu, smpu,
@@ -608,13 +662,14 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
                           (b * 10 + q + 1) * ROWS, :] = val
                 ids_b = ids_ref[b]
                 pid = jnp.where(ids_b >= 0, ids_b, 0)
-                v = _resolve(tab_ref, pid, F, n_chunks)
-                # stash the resolved fields too: the table gathers are
-                # ~95% of a bounce's kernel time (measured); re-reading
-                # beats re-gathering in the reverse sweep
-                for f in range(F):
-                    fstash[(b * F + f) * ROWS:
-                           (b * F + f + 1) * ROWS, :] = v[f]
+                v = _resolve(tab_ref, pid, F, n_chunks, const_fields, z)
+                # stash the resolved (non-constant) fields too: the table
+                # gathers are ~95% of a bounce's kernel time (measured);
+                # re-reading beats re-gathering in the reverse sweep
+                for f in gather_fields:
+                    k = gslot[f]
+                    fstash[(b * NF_g + k) * ROWS:
+                           (b * NF_g + k + 1) * ROWS, :] = v[f]
                 st2, _ = bounce_fwd(v, ids_b, st, tm, pixu, smpu,
                                     seed_t, b)
                 for q in range(13):
@@ -637,8 +692,13 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
                 st_e = (ld(0), ld(1), ld(2), ld(3), ld(4), ld(5),
                         z, z, z, ld(6), ld(7), ld(8), ld(9))
                 ids_b = ids_ref[b]
-                v = [fstash[(b * F + f) * ROWS:(b * F + f + 1) * ROWS, :]
-                     for f in range(F)]
+                v = [
+                    (z + jnp.float32(const_fields[f]))
+                    if (const_fields and f in const_fields) else
+                    fstash[(b * NF_g + gslot[f]) * ROWS:
+                           (b * NF_g + gslot[f] + 1) * ROWS, :]
+                    for f in range(F)
+                ]
                 _, inter = bounce_fwd(v, ids_b, st_e, tm, pixu, smpu,
                                       seed_t, b)
                 adj = tuple(adjr[q * ROWS:(q + 1) * ROWS, :]
@@ -701,7 +761,7 @@ def make_replay_kernels(L, max_depth, background, n_sph, has_moving,
                                            jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((D * 10 * ROWS, TILE), jnp.float32),
-                pltpu.VMEM((D * rf.N_FIELDS * ROWS, TILE), jnp.float32),
+                pltpu.VMEM((D * NF_g * ROWS, TILE), jnp.float32),
                 pltpu.VMEM((13 * ROWS, TILE), jnp.float32),
                 pltpu.VMEM((9 * ROWS, TILE), jnp.float32),
             ],
@@ -775,7 +835,8 @@ def replay_trace_kernel(
     bg_np = np.asarray(background, np.float32)
     fwd_run, bwd_run = make_replay_kernels(
         L, D, bg_np, scene.n_spheres,
-        scene.flags.has_moving, interpret=interpret)
+        scene.flags.has_moving, interpret=interpret,
+        const_fields=scene_const_fields(scene))
 
     sg = jax.lax.stop_gradient
     o, d, time = sg(o), sg(d), sg(time)
@@ -869,3 +930,165 @@ def replay_trace_kernel(
     run.defvjp(run_fwd, run_bwd)
     return run(table, ids3, ox, oy, oz, dx, dy, dz, tm, pix, smp, act,
                seed_arr, maxlen, rad_pre, seg_pre)
+
+
+def plan_prefixes(length_hist, B, max_depth, margin=1.15):
+    """Static per-bounce ray-prefix plan for replay_grads_sorted.
+
+    ``length_hist``: (max_depth + 1,) counts of recorded path lengths
+    (host ints or array), typically ``jnp.bincount(lengths, length=D+1)``
+    pulled to host from an untimed warm-up pass. Bounce ``b`` touches
+    exactly the rays with length > b — with rays length-sorted those are
+    a prefix of size ``n_b = sum(hist[b+1:])``. Returns a tuple of D
+    ints, each ``ceil(margin · n_b)`` rounded up to the 1024-ray kernel
+    step (so the prefix covers whole grid steps), clamped to B. The
+    margin absorbs count drift when scene parameters move between
+    optimizer steps; replay_grads_sorted returns an ``ok`` flag that is
+    False iff any bounce's real count exceeded its prefix (grads would
+    silently drop contributions — callers must check it)."""
+    import numpy as np
+
+    hist = np.asarray(length_hist, np.int64)
+    step = ROWS * TILE
+    prefixes = []
+    for b in range(max_depth):
+        n_b = int(hist[b + 1:].sum())
+        p = min(B, -(-int(np.ceil(n_b * margin)) // step) * step)
+        prefixes.append(p)
+    return tuple(prefixes)
+
+
+def replay_grads_sorted(
+    scene,
+    table: jnp.ndarray,      # (L, N_FIELDS) from rf.build_replay_table —
+                             # pass the *traced* table so its VJP carries
+                             # tbar back to scene parameters
+    ids: jnp.ndarray,        # (max_depth, B) i32 recorded global ids
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    time: jnp.ndarray,
+    pixel_ids: jnp.ndarray,
+    sample_ids: jnp.ndarray,
+    background,
+    max_depth: int,
+    seed,
+    rad_bar: jnp.ndarray,    # (B, 3) per-ray radiance cotangent
+    lengths: jnp.ndarray,    # (B,) i32 exact per-ray bounce counts
+    prefixes=None,           # optional plan from plan_prefixes
+    interpret: bool | None = None,
+):
+    """Scene-parameter gradient pass over recorded decisions, with the
+    rays sorted by recorded path length.
+
+    This is the explicit-cotangent fast path for production optimization
+    loops (and bench.py): the caller computes the loss value and the
+    per-ray radiance cotangent analytically from the decision pass's own
+    radiance (megakernel ``want_ids``/``want_counts``), so no forward
+    replay ever runs — only the backward kernel and the table-gradient
+    reduction. Two structural savings over replay_trace_kernel's VJP:
+
+    * **Length sorting** (one fused unstable ``lax.sort`` on a unique
+      descending-length key): the backward kernel's per-1024-ray-tile
+      bounce gating then skips almost everything past each ray's death —
+      tile maxima collapse from the batch max (~depth) to ~the sorted
+      ray's own length, cutting slot-bounces to ~(1 + 1/tile) · segments.
+    * **Prefix-sliced one-hot reduction**: bounce b's gradient rows are
+      all within the sorted prefix of rays with length > b, so each
+      per-bounce one-hot MXU matmul shrinks from B rows to the planned
+      static prefix (plan_prefixes). Exact, not approximate — the
+      returned ``ok`` is False iff a prefix was exceeded (then a
+      contribution was dropped and the caller must replan).
+
+    Returns ``(tbar, ok)``: the packed-table cotangent (L, N_FIELDS) —
+    feed it to ``jax.vjp(build_replay_table ∘ params)`` — and the plan
+    validity flag (scalar bool, True when prefixes is None).
+
+    Gradients equal replay_trace_kernel's up to f32 reassociation (the
+    one-hot sums reduce in sorted ray order; tests/test_replay_kernel.py
+    asserts agreement)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B = o.shape[0]
+    rows = B // TILE
+    assert rows % ROWS == 0, f"batch must be a multiple of {ROWS * TILE}"
+    D = max_depth
+    L = table.shape[0]
+    F = rf.N_FIELDS
+    import numpy as np
+
+    if isinstance(background, jax.core.Tracer):
+        raise TypeError(
+            "replay_grads_sorted bakes the background into the kernel — "
+            "pass a static value (e.g. cfg.background), not a traced array")
+    bg_np = np.asarray(background, np.float32)
+    _, bwd_run = make_replay_kernels(
+        L, D, bg_np, scene.n_spheres, scene.flags.has_moving,
+        interpret=interpret, const_fields=scene_const_fields(scene))
+
+    sg = jax.lax.stop_gradient
+    lengths = sg(lengths).astype(jnp.int32)
+    rad_bar = sg(rad_bar)
+
+    # one fused sort moves every per-ray column to descending-length
+    # order; the key is unique (len · B + lane) so the unstable
+    # single-compare sort is deterministic (see trace_megakernel's
+    # compaction notes on TPU sort cost)
+    iota = jnp.arange(B, dtype=jnp.int32)
+    key = (D - lengths) * B + iota
+    ops = [key,
+           pixel_ids.astype(jnp.int32), sample_ids.astype(jnp.int32),
+           rad_bar[:, 0], rad_bar[:, 1], rad_bar[:, 2], lengths,
+           sg(o[:, 0]), sg(o[:, 1]), sg(o[:, 2]),
+           sg(d[:, 0]), sg(d[:, 1]), sg(d[:, 2]), sg(time)]
+    n_fixed = len(ops)
+    ops += [ids[b] for b in range(D)]
+    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+    (pix_s, smp_s, rbr, rbg, rbb, len_s,
+     oxf, oyf, ozf, dxf, dyf, dzf, tmf) = out[1:n_fixed]
+    ids_s = jnp.stack(out[n_fixed:], axis=0)  # (D, B) sorted ray order
+
+    def r2(x):
+        return x.reshape(rows, TILE)
+
+    n_steps = rows // ROWS
+    step = ROWS * TILE
+    maxlen = jnp.minimum(len_s.reshape(n_steps, step).max(axis=1), D)
+    act = (len_s > 0).astype(jnp.float32)  # active0 ⟺ traced ≥ 1 segment
+
+    g = bwd_run(jnp.repeat(table.T, ROWS, axis=0),
+                ids_s.reshape(D, rows, TILE),
+                r2(oxf), r2(oyf), r2(ozf), r2(dxf), r2(dyf), r2(dzf),
+                r2(tmf), r2(pix_s), r2(smp_s), r2(act),
+                r2(rbr), r2(rbg), r2(rbb),
+                jnp.asarray([seed], jnp.uint32), maxlen)
+    g5 = g.reshape(n_steps, D, NG, ROWS, TILE)
+
+    if prefixes is None:
+        prefixes = (B,) * D
+    assert len(prefixes) == D
+    ok = jnp.bool_(True)
+    acc = jnp.zeros((L, NG), jnp.float32)
+    arangeL = jnp.arange(L, dtype=jnp.int32)
+    for b in range(D):
+        P = min(B, -(-int(prefixes[b]) // step) * step)
+        if P <= 0:
+            # plan says no ray reaches bounce b: validate, contribute 0
+            ok = ok & (len_s[0] <= b)
+            continue
+        if P < B:
+            # first excluded ray must already be dead at bounce b; sorted
+            # descending, so then every excluded ray is
+            ok = ok & (len_s[P] <= b)
+        S = P // step
+        gm = g5[:S, b].transpose(0, 2, 3, 1).reshape(P, NG)
+        idb = ids_s[b, :P]
+        idb = jnp.clip(jnp.where(idb >= 0, idb, 0), 0, L - 1)
+        oh = (idb[:, None] == arangeL[None, :]).astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            oh, gm, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+    cols = [jnp.zeros((L,), jnp.float32)] * F
+    for tc, gs in _TABLE_GRAD_COLS:
+        cols[tc] = acc[:, gs]
+    tbar = jnp.stack(cols, axis=1)
+    return tbar, ok

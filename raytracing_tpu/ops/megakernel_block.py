@@ -66,8 +66,24 @@ MT_DIELECTRIC = 2.0
 MT_LIGHT = 3.0
 
 # fori_loop unroll for the primitive sweeps: enough independent per-prim
-# dependency chains in flight to cover VPU ALU latency
-SWEEP_UNROLL = 4
+# dependency chains in flight to cover VPU ALU latency. Measured on the
+# final scene (v5e, round 3): 2 → 45.0M, 4 → 57.0M, 8 → 64.6M rays/s
+# end-to-end. Each table uses the largest divisor of its row count ≤
+# this (spheres pad to CLUSTER_SIZE=16 rows, quads to 8 —
+# scene/flatten.py sweep_tables). RT_SWEEP_UNROLL env overrides for
+# perf-matrix sweeps.
+import os as _os
+
+SWEEP_UNROLL = int(_os.environ.get("RT_SWEEP_UNROLL", "8"))
+
+
+def _exact_unroll(n_rows: int, cap: int) -> int:
+    u = 1
+    for cand in (16, 8, 4, 2):
+        if cand <= cap and n_rows % cand == 0:
+            u = cand
+            break
+    return u
 
 
 def _dot3(ax, ay, az, bx, by, bz):
@@ -365,18 +381,22 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                 return tb, ib
 
             # manual unroll (Mosaic's fori only lowers unroll=1/full):
-            # tables are row-padded to a multiple of 8 with never-hit
-            # primitives (flatten.sweep_tables), so the blocked loop is
-            # exact and each iteration carries SWEEP_UNROLL independent
-            # dependency chains to cover ALU latency
+            # tables are row-padded with never-hit primitives
+            # (flatten.sweep_tables: spheres to CLUSTER_SIZE=16, quads to
+            # 8), so the blocked loop is exact at the largest divisor ≤
+            # SWEEP_UNROLL and each iteration carries that many
+            # independent dependency chains to cover ALU latency
+            su_s = _exact_unroll(n_sph_rows, SWEEP_UNROLL)
+            su_q = _exact_unroll(n_quad_rows, SWEEP_UNROLL)
+
             def sph_block(k, carry):
-                for u in range(SWEEP_UNROLL):
-                    carry = sph_body(k * SWEEP_UNROLL + u, carry)
+                for u in range(su_s):
+                    carry = sph_body(k * su_s + u, carry)
                 return carry
 
             def quad_block(k, carry):
-                for u in range(SWEEP_UNROLL):
-                    carry = quad_body(k * SWEEP_UNROLL + u, carry)
+                for u in range(su_q):
+                    carry = quad_body(k * su_q + u, carry)
                 return carry
 
             if use_clusters == "list":
@@ -564,10 +584,10 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                 carry = (zero + BIG, zero - 1.0)
                 if n_sph > 0:
                     carry = _sb_to_t(jax.lax.fori_loop(
-                        0, n_sph_rows // SWEEP_UNROLL, sph_block, carry))
+                        0, n_sph_rows // su_s, sph_block, carry))
             if n_quad > 0:
                 carry = jax.lax.fori_loop(
-                    0, n_quad_rows // SWEEP_UNROLL, quad_block, carry)
+                    0, n_quad_rows // su_q, quad_block, carry)
             return carry
 
         def resolve(ib):

@@ -328,3 +328,24 @@ class TestInKernelBVH:
         assert one.segments == ph.segments
         diff = np.abs(one.radiance - ph.radiance)
         assert diff.max() < 1e-5, f"max diff {diff.max()}"
+
+    def test_renderer_u8_transfer_matches_f32(self):
+        """transfer="u8" (device-side quantization, bench fast path) must
+        produce exactly the bytes the f32 path quantizes to on host."""
+        from raytracing_tpu.render.renderer import Renderer
+        import raytracing_tpu.ops.megakernel as mk
+        from functools import partial
+
+        scene, cfg = build("three_spheres", image_width=64,
+                           samples_per_pixel=2, max_depth=4)
+        orig = mk.trace_megakernel
+        try:
+            mk.trace_megakernel = partial(orig, interpret=True)
+            f32 = Renderer(cfg, hit_method="mega").render(scene, seed=3)
+            u8 = Renderer(cfg, hit_method="mega",
+                          transfer="u8").render(scene, seed=3)
+        finally:
+            mk.trace_megakernel = orig
+        assert u8.radiance is None and u8.u8 is not None
+        assert u8.segments == f32.segments
+        np.testing.assert_array_equal(u8.image_u8, f32.image_u8)

@@ -174,3 +174,77 @@ class TestReplayKernel:
         for gr, gk in zip(g_ref, g_k):
             np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                        rtol=3e-5, atol=3e-6)
+
+    @pytest.mark.parametrize("name", ["bouncing_spheres", "cornell_box"])
+    def test_replay_grads_sorted(self, name):
+        """The explicit-cotangent sorted gradient pass (bench.py's round-3
+        fwd+bwd path) must match the custom_vjp kernel path: same scene
+        grads for an arbitrary radiance cotangent, with and without a
+        prefix plan (the plan slices away only all-zero rows — ulp-level
+        reduction-tree differences only), and ok=False on a violated plan."""
+        from raytracing_tpu.diff.replay_fast import build_replay_table
+        from raytracing_tpu.diff.replay_kernel import (
+            plan_prefixes, replay_grads_sorted,
+        )
+        from raytracing_tpu.ops.megakernel import (
+            build_mega_scene, trace_megakernel,
+        )
+
+        (scene, _, o, d, t, pix, smp, bg, depth, seed,
+         act0) = _setup(name, depth=6)
+        mega = build_mega_scene(scene)
+        _, mseg, ids2, cnt = trace_megakernel(
+            mega, o, d, t, pix, smp, bg, depth, jnp.uint32(seed),
+            interpret=True, active0=act0, want_ids=True, want_counts=True,
+            layout="block")
+        B = o.shape[0]
+        rng = np.random.default_rng(3)
+        rad_bar = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+
+        def f(center, rgb):
+            s = scene.replace(
+                spheres=scene.spheres.replace(center=center),
+                textures=scene.textures.replace(rgb=rgb))
+            out, _ = replay_trace_kernel(
+                s, ids2, o, d, t, pix, smp, bg, depth, jnp.uint32(seed),
+                active0=act0, lengths=cnt)
+            return out
+
+        args = (scene.spheres.center, scene.textures.rgb)
+        _, vjp = jax.vjp(f, *args)
+        gc_ref, gr_ref = vjp(rad_bar)
+
+        def new_path(prefixes):
+            table, tab_vjp = jax.vjp(
+                lambda c, r: build_replay_table(scene.replace(
+                    spheres=scene.spheres.replace(center=c),
+                    textures=scene.textures.replace(rgb=r))), *args)
+            tbar, ok = replay_grads_sorted(
+                scene, table, ids2, o, d, t, pix, smp, bg, depth,
+                jnp.uint32(seed), rad_bar, cnt, prefixes=prefixes)
+            return tab_vjp(tbar), ok
+
+        (gc, gr), ok = new_path(None)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref),
+                                   rtol=3e-5, atol=3e-6)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gr_ref),
+                                   rtol=3e-5, atol=3e-6)
+
+        hist = np.bincount(np.asarray(cnt), minlength=depth + 1)
+        prefixes = plan_prefixes(hist, B, depth, margin=1.0)
+        # the plan slices away only all-zero gradient rows, so the sums
+        # agree to the reduction-tree reassociation of the resized matmul
+        # (~1 ulp; exact zeros cannot change the value beyond that)
+        (gc_p, gr_p), ok_p = new_path(prefixes)
+        assert bool(ok_p)
+        np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(gr_p), np.asarray(gr),
+                                   rtol=1e-5, atol=1e-7)
+
+        # a violated plan must be flagged (bounce 0 touches every live
+        # ray; 0 rows cannot cover them)
+        bad = (0,) + prefixes[1:]
+        _, ok_bad = new_path(bad)
+        assert not bool(ok_bad)
