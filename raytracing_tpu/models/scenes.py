@@ -113,14 +113,20 @@ def checkered_spheres(use_bvh: bool = False, **cam_overrides):
 
 @register("earth")
 def earth(use_bvh: bool = False, image: str = "earthmap.jpg", **cam_overrides):
-    """Image-textured globe (main.cpp:141-171). Falls back to a procedural
-    earth-like texture when the asset is absent (we do not vendor the
-    reference's jpg); drop earthmap.jpg into images/ for exact parity."""
+    """Image-textured globe (main.cpp:141-171). Asset resolution order:
+    ``earthmap.jpg`` (the reference's asset — drop it into images/ or point
+    $RTW_IMAGES at it for exact reference parity; we do not copy it), then
+    the vendored ``images/earthmap.ppm`` (a procedurally generated
+    earth-like stand-in, committed so the rtw_image file pipeline —
+    probing, PPM decode, u8 round-trip — runs on a real file by default),
+    then the in-memory procedural generator as a last resort."""
     from ..scene import assets
 
     b = SceneBuilder()
     if assets.find_image(image) is not None:
         tex = b.image(image)
+    elif assets.find_image("earthmap.ppm") is not None:
+        tex = b.image("earthmap.ppm")
     else:
         tex = b.image(assets.generate_earthlike())
     b.sphere((0.0, 0.0, 0.0), 2.0, b.lambertian(tex))

@@ -46,9 +46,31 @@ class TestGolden:
 
     def test_earth_image_texture(self):
         # image-texture lookup path (nearest-neighbor, v-flip, atlas);
-        # uses the deterministic procedural fallback texture
+        # by default loads the vendored images/earthmap.ppm through the
+        # real file pipeline (probe → PPM decode → u8 round-trip)
         _compare("earth", cam_overrides=dict(image_width=48, samples_per_pixel=2,
                                              max_depth=4))
+
+    def test_earth_uses_vendored_asset_file(self):
+        """The earth scene's default texture must come from the committed
+        images/earthmap.ppm via the rtw_image pipeline (probing + PPM
+        decode), not the in-memory procedural generator — and its atlas
+        texels must round-trip the file bit-exactly."""
+        import numpy as np
+
+        from raytracing_tpu.models.scenes import build
+        from raytracing_tpu.scene import assets
+
+        path = assets.find_image("earthmap.ppm")
+        assert path is not None, "vendored images/earthmap.ppm not found"
+        scene, _ = build("earth")
+        file_img = assets.read_ppm(path).astype(np.float32) / 255.0
+        atlas = scene.atlas
+        h, w = file_img.shape[:2]
+        assert atlas is not None
+        assert tuple(np.asarray(atlas.sizes)[0]) == (h, w)
+        texels = np.asarray(atlas.texels)[0, :h, :w]
+        np.testing.assert_array_equal(texels, file_img)
 
     def test_earth_real_asset(self, monkeypatch):
         """Same comparison with the REAL reference asset (earthmap.jpg,
