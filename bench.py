@@ -76,7 +76,8 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
     return best
 
 
-def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
+def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
+                  fused=True):
     """Forward+backward throughput on the BASELINE final-scene workload
     (400×225 @ 100 spp, depth 20): per-chunk MSE loss value + grads
     w.r.t. scene params (sphere centers + albedos), sample-chunked.
@@ -155,18 +156,27 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
 
     # ---- untimed planning sweep: per-bounce live-ray maxima over chunks
     # (bounce b touches the rays with recorded length > b) -------------
+    def plan_chunk(sample0):
+        _, _, cnt = decide(sample0)
+        hist = jnp.bincount(jnp.clip(cnt, 0, max_depth),
+                            length=max_depth + 1)
+        return jnp.cumsum(hist[::-1])[::-1]  # nb[k] = #rays len >= k
+
     def plan_sweep():
         def body(c, nb_max):
-            _, _, cnt = decide((c * spp_chunk).astype(jnp.int32))
-            hist = jnp.bincount(jnp.clip(cnt, 0, max_depth),
-                                length=max_depth + 1)
-            nb = jnp.cumsum(hist[::-1])[::-1]  # nb[k] = #rays len >= k
-            return jnp.maximum(nb_max, nb)
+            return jnp.maximum(
+                nb_max, plan_chunk((c * spp_chunk).astype(jnp.int32)))
 
         return jax.lax.fori_loop(
             0, n_chunks, body, jnp.zeros((max_depth + 1,), jnp.int32))
 
-    nb_max = np.asarray(jax.jit(plan_sweep)())
+    if fused:
+        nb_max = np.asarray(jax.jit(plan_sweep)())
+    else:
+        pf = jax.jit(plan_chunk)
+        nb_max = np.max(
+            np.stack([np.asarray(pf(jnp.int32(c * spp_chunk)))
+                      for c in range(n_chunks)]), axis=0)
     step = 1024
     prefixes = tuple(
         min(B, -(-int(nb_max[b + 1]) // step) * step)
@@ -219,20 +229,44 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
                 jnp.bool_(True))
         return jax.lax.fori_loop(0, n_chunks, body, init)
 
-    fn = jax.jit(sweep)
-    compiled = fn.lower(*args).compile()
-    # Time through host materialization, not block_until_ready: on the
-    # tunneled remote platform block_until_ready can return while the
-    # device is still executing (see render/renderer.py), which would
-    # inflate this metric by orders of magnitude.
+    if fused:
+        fn = jax.jit(sweep)
+        compiled = fn.lower(*args).compile()
+        # Time through host materialization, not block_until_ready: on the
+        # tunneled remote platform block_until_ready can return while the
+        # device is still executing (see render/renderer.py), which would
+        # inflate this metric by orders of magnitude.
+        t0 = time.perf_counter()
+        lo, gc, gr, segs, ok = compiled(*args)
+        np.asarray(gc), np.asarray(gr)
+        total_segments = int(segs)
+        dt = time.perf_counter() - t0
+        assert bool(ok), "replay prefix plan violated — grads incomplete"
+        return dict(seconds=dt, segments=total_segments,
+                    rays_per_s=total_segments / dt)
+
+    # Unfused fallback: one jitted program per chunk (a much smaller XLA
+    # program than the fused 25-chunk sweep — the remote compiler is far
+    # less likely to hang on it), Python loop pays ~1.8 ms dispatch per
+    # chunk (~4% at the measured rates).
+    chunk_fn = jax.jit(grads_chunk).lower(
+        *args, jnp.int32(0)).compile()
+    lo = jnp.zeros(())
+    gc = jnp.zeros_like(args[0])
+    gr = jnp.zeros_like(args[1])
+    segs = jnp.zeros((), jnp.int32)
+    all_ok = jnp.bool_(True)
     t0 = time.perf_counter()
-    lo, gc, gr, segs, ok = compiled(*args)
+    for c in range(n_chunks):
+        loss, g1, g2, ok, seg = chunk_fn(*args, jnp.int32(c * spp_chunk))
+        lo, gc, gr = lo + loss, gc + g1, gr + g2
+        segs, all_ok = segs + seg, all_ok & ok
     np.asarray(gc), np.asarray(gr)
     total_segments = int(segs)
     dt = time.perf_counter() - t0
-    assert bool(ok), "replay prefix plan violated — grads incomplete"
+    assert bool(all_ok), "replay prefix plan violated — grads incomplete"
     return dict(seconds=dt, segments=total_segments,
-                rays_per_s=total_segments / dt)
+                rays_per_s=total_segments / dt, fused=False)
 
 
 def _bench_fwd_bwd_subprocess(timeout_s: int = 480, retries: int = 3):
@@ -244,13 +278,19 @@ def _bench_fwd_bwd_subprocess(timeout_s: int = 480, retries: int = 3):
     retry that wins the roll finishes in well under a minute."""
     import subprocess
 
-    code = (
+    code_tpl = (
         "import sys, json; sys.path.insert(0, %r);"
         "import bench; bench._enable_compile_cache();"
-        "r = bench.bench_fwd_bwd();"
+        "r = bench.bench_fwd_bwd(fused=%%s);"
         "print('FWD_BWD_RESULT', json.dumps(r))"
     ) % os.path.dirname(os.path.abspath(__file__))
+    last_fail = None
     for attempt in range(retries):
+        will_retry = attempt + 1 < retries
+        # last attempt: unfused per-chunk programs — a much smaller XLA
+        # program that the flaky remote compiler is far more likely to
+        # finish (round 3: the fused program hung 3/3 attempts cold)
+        code = code_tpl % ("True" if will_retry else "False")
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,
@@ -259,12 +299,24 @@ def _bench_fwd_bwd_subprocess(timeout_s: int = 480, retries: int = 3):
             for line in out.stdout.splitlines():
                 if line.startswith("FWD_BWD_RESULT"):
                     return json.loads(line[len("FWD_BWD_RESULT"):])
+            # A fast, repeated, identical failure is deterministic (import
+            # error, assertion) — retrying only wastes wall clock. Reserve
+            # retries for timeouts and slow-compile/tunnel flakiness.
+            fail = (out.returncode, out.stderr[-300:])
             print(f"bench[fwd_bwd] attempt {attempt}: no result "
-                  f"(stderr tail: {out.stderr[-300:]})", file=sys.stderr)
+                  f"(rc={out.returncode}, stderr tail: {fail[1]})",
+                  file=sys.stderr)
+            if fail == last_fail:
+                print("bench[fwd_bwd] identical failure twice — "
+                      "deterministic, giving up", file=sys.stderr)
+                return None
+            last_fail = fail
         except subprocess.TimeoutExpired:
             print(f"bench[fwd_bwd] attempt {attempt} timed out "
-                  "(remote compiler hang); retrying", file=sys.stderr)
-        if attempt + 1 < retries:
+                  "(remote compiler hang); "
+                  + ("retrying" if will_retry else "giving up"),
+                  file=sys.stderr)
+        if will_retry:
             time.sleep(90)  # let a wedged tunnel recover (see fwd)
     return None
 
@@ -282,7 +334,9 @@ def _bench_forward_subprocess(timeout_s: int = 420, retries: int = 3):
         "r = bench.bench_forward();"
         "print('FWD_RESULT', json.dumps(r))"
     ) % os.path.dirname(os.path.abspath(__file__))
+    last_fail = None
     for attempt in range(retries):
+        will_retry = attempt + 1 < retries
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True, text=True,
@@ -291,14 +345,23 @@ def _bench_forward_subprocess(timeout_s: int = 420, retries: int = 3):
             for line in out.stdout.splitlines():
                 if line.startswith("FWD_RESULT"):
                     return json.loads(line[len("FWD_RESULT"):])
+            fail = (out.returncode, out.stderr[-300:])
             print(f"bench[fwd] attempt {attempt}: no result "
-                  f"(stderr tail: {out.stderr[-300:]})", file=sys.stderr)
+                  f"(rc={out.returncode}, stderr tail: {fail[1]})",
+                  file=sys.stderr)
+            if fail == last_fail:
+                print("bench[fwd] identical failure twice — deterministic, "
+                      "giving up", file=sys.stderr)
+                return None
+            last_fail = fail
         except subprocess.TimeoutExpired:
             print(f"bench[fwd] attempt {attempt} timed out "
-                  "(remote compiler hang); retrying", file=sys.stderr)
+                  "(remote compiler hang); "
+                  + ("retrying" if will_retry else "giving up"),
+                  file=sys.stderr)
         # A killed client can wedge the TPU tunnel for several minutes;
         # give it time to recover before the next roll of the dice.
-        if attempt + 1 < retries:
+        if will_retry:
             time.sleep(90)
     return None
 
