@@ -140,12 +140,14 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
         )
         return o, d, t, smp
 
+    interpret = jax.default_backend() == "cpu"  # CI/dev exercise path
+
     def decide(sample0):
         o, d, t, smp = make_rays(sample0)
         rad, _, ids, cnt = trace_megakernel(
             mega, o, d, t, pix, smp, cfg.background, max_depth,
             jnp.uint32(seed), phase_depths=phases, active0=act0,
-            want_ids=True, want_counts=True,
+            want_ids=True, want_counts=True, interpret=interpret,
             regen=make_regen(n_pix, npix_pad, spp_chunk, jnp.int32(0),
                              sample0, jnp.uint32(seed),
                              scene.flags.has_moving),

@@ -1072,7 +1072,7 @@ def trace_megakernel(
     background,
     max_depth: int,
     seed,
-    interpret: bool = False,
+    interpret: bool | None = None,  # None: interpret iff backend is CPU
     phase_depths=None,
     active0=None,
     use_bvh: bool | None = None,
@@ -1113,6 +1113,8 @@ def trace_megakernel(
     compaction permutes rays mid-trace; each phase's id rows are restored
     to camera order with one fused sort keyed on the composed permutation.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     B = o.shape[0]
     assert B % BLOCK == 0, f"megakernel batch must be a multiple of {BLOCK}, got {B}"
     rows = B // TILE
