@@ -201,6 +201,18 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
         rad_bar = (jnp.tile(gpad, (spp_chunk, 1))
                    * act0[:, None] / spp_chunk)
         o, d, t, smp = make_rays(sample0)
+
+        def ray_regen(orig):
+            # camera rays are pure functions of the original ray index
+            # (bit-identical to make_rays): lets the replay's length sort
+            # move only key + rad_bar + packed ids
+            p = jnp.minimum(orig % npix_pad, n_pix - 1)
+            s = sample0 + orig // npix_pad
+            ro, rd, rt = cam_mod.generate_rays(
+                cfg, derived, p, s, jnp.uint32(seed),
+                motion_blur=scene.flags.has_moving)
+            return ro, rd, rt, p, s
+
         table, tab_vjp = jax.vjp(
             lambda c, r: rfm.build_replay_table(scene.replace(
                 spheres=scene.spheres.replace(center=c),
@@ -208,7 +220,8 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
             center, rgb)
         tbar, ok = replay_grads_sorted(
             scene, table, ids, o, d, t, pix, smp, cfg.background,
-            max_depth, jnp.uint32(seed), rad_bar, cnt, prefixes=prefixes)
+            max_depth, jnp.uint32(seed), rad_bar, cnt, prefixes=prefixes,
+            ray_regen=ray_regen)
         gc, gr = tab_vjp(tbar)
         return loss, gc, gr, ok, jnp.sum(cnt)
 
@@ -287,12 +300,15 @@ def _bench_fwd_bwd_subprocess(timeout_s: int = 480, retries: int = 3):
         "print('FWD_BWD_RESULT', json.dumps(r))"
     ) % os.path.dirname(os.path.abspath(__file__))
     last_fail = None
+    # Reliability-first attempt order: the unfused per-chunk program is a
+    # much smaller XLA program the flaky remote compiler reliably
+    # finishes (the fused 25-chunk sweep hung 6/6 cold attempts across
+    # rounds 3-4 at 480 s each); fused costs ~4% less dispatch overhead
+    # and gets one shot in the middle in case its cache is warm.
+    plans = ["False", "True", "False"][:retries] or ["False"]
     for attempt in range(retries):
         will_retry = attempt + 1 < retries
-        # last attempt: unfused per-chunk programs — a much smaller XLA
-        # program that the flaky remote compiler is far more likely to
-        # finish (round 3: the fused program hung 3/3 attempts cold)
-        code = code_tpl % ("True" if will_retry else "False")
+        code = code_tpl % plans[min(attempt, len(plans) - 1)]
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,

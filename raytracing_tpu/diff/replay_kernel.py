@@ -932,6 +932,34 @@ def replay_trace_kernel(
                seed_arr, maxlen, rad_pre, seg_pre)
 
 
+_IDS_PER_WORD = 3  # 10-bit biased ids, 3 per int32 (sort-operand slimming)
+
+
+def _pack_ids(ids, D):
+    """(D, B) int32 ids in [-1, 1022] → ceil(D/3) packed int32 columns.
+
+    Each id is biased by +1 into [0, 1023] and three ids occupy bits
+    [0:10), [10:20), [20:30) of one non-negative word — lossless, and
+    cheap VPU shifts versus moving 20 4-byte columns through a sort."""
+    words = []
+    for w in range(0, D, _IDS_PER_WORD):
+        acc = None
+        for k in range(min(_IDS_PER_WORD, D - w)):
+            v = (ids[w + k] + 1) << (10 * k)
+            acc = v if acc is None else acc | v
+        words.append(acc)
+    return words
+
+
+def _unpack_ids(words, D):
+    """Inverse of _pack_ids → (D, B) int32 stacked ids."""
+    rows = []
+    for b in range(D):
+        word = words[b // _IDS_PER_WORD]
+        rows.append(((word >> (10 * (b % _IDS_PER_WORD))) & 0x3FF) - 1)
+    return jnp.stack(rows, axis=0)
+
+
 def plan_prefixes(length_hist, B, max_depth, margin=1.15):
     """Static per-bounce ray-prefix plan for replay_grads_sorted.
 
@@ -976,6 +1004,7 @@ def replay_grads_sorted(
     lengths: jnp.ndarray,    # (B,) i32 exact per-ray bounce counts
     prefixes=None,           # optional plan from plan_prefixes
     interpret: bool | None = None,
+    ray_regen=None,          # optional orig_idx -> (o, d, t, pix, smp)
 ):
     """Scene-parameter gradient pass over recorded decisions, with the
     rays sorted by recorded path length.
@@ -992,6 +1021,12 @@ def replay_grads_sorted(
       bounce gating then skips almost everything past each ray's death —
       tile maxima collapse from the batch max (~depth) to ~the sorted
       ray's own length, cutting slot-bounces to ~(1 + 1/tile) · segments.
+      Sort cost is operand-count bound: ids ride packed 3-per-int32, and
+      with ``ray_regen`` (``orig_idx -> (o, d, t, pix, smp)``, the
+      camera-ray regeneration hook — rays are pure functions of the
+      original ray index) only key + rad_bar + packed ids move through
+      the sort; everything else is recomputed bit-identically from the
+      sorted key.
     * **Prefix-sliced one-hot reduction**: bounce b's gradient rows are
       all within the sorted prefix of rays with length > b, so each
       per-bounce one-hot MXU matmul shrinks from B rows to the planned
@@ -1032,20 +1067,47 @@ def replay_grads_sorted(
     # one fused sort moves every per-ray column to descending-length
     # order; the key is unique (len · B + lane) so the unstable
     # single-compare sort is deterministic (see trace_megakernel's
-    # compaction notes on TPU sort cost)
+    # compaction notes on TPU sort cost). TPU sort cost is operand-count
+    # bound (data movement), so the D recorded-id columns are packed
+    # three 10-bit ids per int32 word for the ride (ids are in
+    # [-1, n_prims-1] and the packed tables cap L at 1023 rows —
+    # lossless) — D=20 moves as 7 columns instead of 20.
     iota = jnp.arange(B, dtype=jnp.int32)
     key = (D - lengths) * B + iota
-    ops = [key,
-           pixel_ids.astype(jnp.int32), sample_ids.astype(jnp.int32),
-           rad_bar[:, 0], rad_bar[:, 1], rad_bar[:, 2], lengths,
-           sg(o[:, 0]), sg(o[:, 1]), sg(o[:, 2]),
-           sg(d[:, 0]), sg(d[:, 1]), sg(d[:, 2]), sg(time)]
-    n_fixed = len(ops)
-    ops += [ids[b] for b in range(D)]
-    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    (pix_s, smp_s, rbr, rbg, rbb, len_s,
-     oxf, oyf, ozf, dxf, dyf, dzf, tmf) = out[1:n_fixed]
-    ids_s = jnp.stack(out[n_fixed:], axis=0)  # (D, B) sorted ray order
+    pack = L <= 1023  # ids must fit 10 bits after the +1 bias
+    if ray_regen is not None:
+        # The unique key encodes BOTH the length (key // B) and the
+        # original ray index (key % B), and camera rays are pure
+        # functions of that index — so only key + rad_bar + packed ids
+        # ride the sort; o/d/t/pix/smp are regenerated bit-identically
+        # from the sorted key (the make_regen trick, one level up).
+        ops = [key, rad_bar[:, 0], rad_bar[:, 1], rad_bar[:, 2]]
+        n_fixed = len(ops)
+        ops += _pack_ids(ids, D) if pack else [ids[b] for b in range(D)]
+        out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        rbr, rbg, rbb = out[1:n_fixed]
+        key_s = out[0]
+        len_s = D - key_s // B
+        orig = key_s % B
+        o_s, d_s, t_s, pix_s, smp_s = ray_regen(orig)
+        oxf, oyf, ozf = sg(o_s[:, 0]), sg(o_s[:, 1]), sg(o_s[:, 2])
+        dxf, dyf, dzf = sg(d_s[:, 0]), sg(d_s[:, 1]), sg(d_s[:, 2])
+        tmf = sg(t_s)
+        pix_s = pix_s.astype(jnp.int32)
+        smp_s = smp_s.astype(jnp.int32)
+    else:
+        ops = [key,
+               pixel_ids.astype(jnp.int32), sample_ids.astype(jnp.int32),
+               rad_bar[:, 0], rad_bar[:, 1], rad_bar[:, 2], lengths,
+               sg(o[:, 0]), sg(o[:, 1]), sg(o[:, 2]),
+               sg(d[:, 0]), sg(d[:, 1]), sg(d[:, 2]), sg(time)]
+        n_fixed = len(ops)
+        ops += _pack_ids(ids, D) if pack else [ids[b] for b in range(D)]
+        out = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        (pix_s, smp_s, rbr, rbg, rbb, len_s,
+         oxf, oyf, ozf, dxf, dyf, dzf, tmf) = out[1:n_fixed]
+    ids_s = (_unpack_ids(out[n_fixed:], D) if pack
+             else jnp.stack(out[n_fixed:], axis=0))  # (D, B) sorted order
 
     def r2(x):
         return x.reshape(rows, TILE)

@@ -1169,7 +1169,10 @@ def trace_megakernel(
 
     def _phase_ids_to_global(phase_ids, cur_perm):
         """(pd, n_rows, TILE) kernel ids → (pd, B) global ids, original
-        ray order (inverse of the composed compaction permutation)."""
+        ray order (inverse of the composed compaction permutation). The
+        restore sort is operand-count bound, so ids ride it packed three
+        10-bit ids per int32 word when the scene fits (lossless; see
+        diff/replay_kernel._pack_ids)."""
         pd_n = phase_ids.shape[0]
         flat = phase_ids.reshape(pd_n, B)
         n_kid = mega.kid_map.shape[0]
@@ -1179,9 +1182,15 @@ def trace_megakernel(
             jnp.int32(-1),
         )
         if pi > 0:  # identity permutation before the first boundary
-            ops_s = [cur_perm] + [gid[k] for k in range(pd_n)]
-            sorted_s = jax.lax.sort(ops_s, num_keys=1, is_stable=False)
-            gid = jnp.stack(sorted_s[1:], axis=0)
+            from ..diff.replay_kernel import _pack_ids, _unpack_ids
+
+            pack = mega.n_prims <= 1023
+            cols = (_pack_ids(gid, pd_n) if pack
+                    else [gid[k] for k in range(pd_n)])
+            sorted_s = jax.lax.sort([cur_perm] + cols, num_keys=1,
+                                    is_stable=False)
+            gid = (_unpack_ids(sorted_s[1:], pd_n) if pack
+                   else jnp.stack(sorted_s[1:], axis=0))
         return gid
 
     for pi, pd in enumerate(phase_depths):

@@ -214,14 +214,15 @@ class TestReplayKernel:
         _, vjp = jax.vjp(f, *args)
         gc_ref, gr_ref = vjp(rad_bar)
 
-        def new_path(prefixes):
+        def new_path(prefixes, ray_regen=None):
             table, tab_vjp = jax.vjp(
                 lambda c, r: build_replay_table(scene.replace(
                     spheres=scene.spheres.replace(center=c),
                     textures=scene.textures.replace(rgb=r))), *args)
             tbar, ok = replay_grads_sorted(
                 scene, table, ids2, o, d, t, pix, smp, bg, depth,
-                jnp.uint32(seed), rad_bar, cnt, prefixes=prefixes)
+                jnp.uint32(seed), rad_bar, cnt, prefixes=prefixes,
+                ray_regen=ray_regen)
             return tab_vjp(tbar), ok
 
         (gc, gr), ok = new_path(None)
@@ -248,3 +249,14 @@ class TestReplayKernel:
         bad = (0,) + prefixes[1:]
         _, ok_bad = new_path(bad)
         assert not bool(ok_bad)
+
+        # ray_regen (slim sort: only key + rad_bar + packed ids move;
+        # rays recomputed from the sorted key) must be bit-identical —
+        # an exact regen here is a gather from the original arrays
+        def regen(orig):
+            return o[orig], d[orig], t[orig], pix[orig], smp[orig]
+
+        (gc_rg, gr_rg), ok_rg = new_path(prefixes, ray_regen=regen)
+        assert bool(ok_rg)
+        np.testing.assert_array_equal(np.asarray(gc_rg), np.asarray(gc_p))
+        np.testing.assert_array_equal(np.asarray(gr_rg), np.asarray(gr_p))
