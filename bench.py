@@ -76,27 +76,12 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
     return best
 
 
-def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
-                  fused=True):
-    """Forward+backward throughput on the BASELINE final-scene workload
-    (400×225 @ 100 spp, depth 20): per-chunk MSE loss value + grads
-    w.r.t. scene params (sphere centers + albedos), sample-chunked.
-
-    The explicit-cotangent decision-replay path (round 3): each chunk
-    runs the Pallas megakernel decision pass (recorded winner ids + exact
-    per-ray path lengths + radiance), computes the loss value and the
-    per-ray radiance cotangent analytically from that radiance, then runs
-    ONLY the backward replay kernel over the rays sorted by recorded path
-    length (diff/replay_kernel.py replay_grads_sorted) with a statically
-    planned per-bounce prefix for the one-hot table-gradient reduction.
-    The plan comes from an untimed warm-up sweep over the same chunks;
-    the timed run asserts the plan held (``ok``), so gradients are exact.
-
-    Honest accounting (round-1 review item 2): segments are the *actual*
-    ray-scene queries counted by the decision pass's live-mask sum — not
-    the pixels·spp·depth upper bound — and each segment is counted once
-    even though it is touched by the decision pass and the backward.
-    """
+def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
+    """Build the fwd+bwd chunk machinery (shared by bench_fwd_bwd and
+    tools/fbprof6.py). Returns a dict with ``grads_chunk``,
+    ``plan_chunk``, ``plan_sweep``, ``args``, ``n_chunks``,
+    ``spp_chunk``, ``B`` and a ``set_prefixes`` hook (grads_chunk reads
+    the prefix plan set by the planning sweep)."""
     import jax
     import jax.numpy as jnp
 
@@ -172,18 +157,7 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
         return jax.lax.fori_loop(
             0, n_chunks, body, jnp.zeros((max_depth + 1,), jnp.int32))
 
-    if fused:
-        nb_max = np.asarray(jax.jit(plan_sweep)())
-    else:
-        pf = jax.jit(plan_chunk)
-        nb_max = np.max(
-            np.stack([np.asarray(pf(jnp.int32(c * spp_chunk)))
-                      for c in range(n_chunks)]), axis=0)
-    step = 1024
-    prefixes = tuple(
-        min(B, -(-int(nb_max[b + 1]) // step) * step)
-        for b in range(max_depth)
-    )
+    ns = {"prefixes": None}  # set by the planning sweep before tracing
 
     def grads_chunk(center, rgb, sample0):
         rad_pre, ids, cnt = decide(sample0)
@@ -220,12 +194,69 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
             center, rgb)
         tbar, ok = replay_grads_sorted(
             scene, table, ids, o, d, t, pix, smp, cfg.background,
-            max_depth, jnp.uint32(seed), rad_bar, cnt, prefixes=prefixes,
-            ray_regen=ray_regen)
+            max_depth, jnp.uint32(seed), rad_bar, cnt,
+            prefixes=ns["prefixes"], ray_regen=ray_regen)
         gc, gr = tab_vjp(tbar)
         return loss, gc, gr, ok, jnp.sum(cnt)
 
     args = (scene.spheres.center, scene.textures.rgb)
+
+    def plan(fused=True):
+        """Run the untimed planning sweep and install the prefix plan."""
+        if fused:
+            nb_max = np.asarray(jax.jit(plan_sweep)())
+        else:
+            pf = jax.jit(plan_chunk)
+            nb_max = np.max(
+                np.stack([np.asarray(pf(jnp.int32(c * spp_chunk)))
+                          for c in range(n_chunks)]), axis=0)
+        step = 1024
+        ns["prefixes"] = tuple(
+            min(B, -(-int(nb_max[b + 1]) // step) * step)
+            for b in range(max_depth)
+        )
+        return ns["prefixes"]
+
+    return dict(grads_chunk=grads_chunk, plan=plan, args=args,
+                n_chunks=n_chunks, spp_chunk=spp_chunk, B=B, ns=ns)
+
+
+def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
+                  fused=True):
+    """Forward+backward throughput on the BASELINE final-scene workload
+    (400×225 @ 100 spp, depth 20): per-chunk MSE loss value + grads
+    w.r.t. scene params (sphere centers + albedos), sample-chunked.
+
+    The explicit-cotangent decision-replay path (rounds 3-4): each chunk
+    runs the Pallas megakernel decision pass (recorded winner ids + exact
+    per-ray path lengths + radiance), computes the loss value and the
+    per-ray radiance cotangent analytically from that radiance, then runs
+    ONLY the backward replay kernel over the rays sorted by recorded path
+    length (diff/replay_kernel.py replay_grads_sorted, slim sort: key +
+    cotangent + packed ids; rays regenerated from the sorted key) with a
+    statically planned per-bounce prefix for the one-hot table-gradient
+    reduction. The plan comes from an untimed warm-up sweep over the same
+    chunks; the timed run asserts the plan held (``ok``), so gradients
+    are exact.
+
+    Honest accounting (round-1 review item 2): segments are the *actual*
+    ray-scene queries counted by the decision pass's live-mask sum — not
+    the pixels·spp·depth upper bound — and each segment is counted once
+    even though it is touched by the decision pass and the backward.
+
+    ``fused``: one jitted 25-chunk fori_loop dispatch (the remote
+    compiler reliably hangs on it cold — see _bench_fwd_bwd_subprocess)
+    vs one jitted program per chunk with device-side accumulation.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    s = _fwd_bwd_setup(width=width, spp=spp, max_depth=max_depth,
+                       seed=seed, spp_chunk=spp_chunk)
+    grads_chunk, args = s["grads_chunk"], s["args"]
+    n_chunks, spc = s["n_chunks"], s["spp_chunk"]
+    s["plan"](fused=fused)
 
     # One dispatch for the whole fwd+bwd sweep: the per-chunk Python loop
     # pays ~1.8 ms of tunnel dispatch latency per jitted call on this
@@ -235,7 +266,7 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
     def sweep(center, rgb):
         def body(c, carry):
             lo, gc, gr, segs, okc = carry
-            s0 = (c * spp_chunk).astype(jnp.int32)
+            s0 = (c * spc).astype(jnp.int32)
             loss, g1, g2, ok, seg = grads_chunk(center, rgb, s0)
             return (lo + loss, gc + g1, gr + g2, segs + seg, okc & ok)
 
