@@ -178,6 +178,21 @@ def build_mega_scene(scene: Scene) -> MegaScene:
             fl.U_QX, fl.U_QY, fl.U_QZ, fl.U_UX, fl.U_UY, fl.U_UZ,
             fl.U_VX, fl.U_VY, fl.U_VZ)
     tabt_rep_np = fl.resolve_table_rep(np.asarray(table), resolve_fields)
+    # Append the kernel-id → ORIGINAL-scene-id map as one more replicated
+    # pseudo-field (8 rows) so the block kernel can record GLOBAL winner
+    # ids directly with one in-kernel lane gather. The XLA alternative —
+    # jnp.take(kid_map, ids) over (depth, B) recorded ids — lowers to an
+    # element-serial TPU gather at ~8 ns/element and dominated the whole
+    # fwd+bwd decision pass (measured 59 of 78 ms per 360k-ray chunk,
+    # device trace 2026-08-20).
+    kid_np = np.asarray(_compose_kid_map(
+        fl.global_id_map(scene), sph_perm if reordered else None,
+        orig_n_spheres))
+    p_pad_rep = tabt_rep_np.shape[1]
+    kid_pad = np.full((p_pad_rep,), -1.0, np.float32)
+    kid_pad[: kid_np.shape[0]] = kid_np.astype(np.float32)
+    tabt_rep_np = np.concatenate(
+        [tabt_rep_np, np.tile(kid_pad[None, :], (8, 1))], axis=0)
     noise_rep_np = (fl.noise_tables_rep(scene) if has_noise
                     else np.zeros((48, 256), np.float32))
     return MegaScene(
@@ -205,9 +220,7 @@ def build_mega_scene(scene: Scene) -> MegaScene:
         resolve_fields=resolve_fields,
         noise_rep=jnp.asarray(noise_rep_np),
         atlas_rep=jnp.asarray(atlas_rep_np),
-        kid_map=jnp.asarray(_compose_kid_map(
-            fl.global_id_map(scene), sph_perm if reordered else None,
-            orig_n_spheres)),
+        kid_map=jnp.asarray(kid_np),
         sph_cluster_boxes=jnp.asarray(fl.sphere_cluster_boxes(sph_sw)),
     )
 
@@ -1168,29 +1181,23 @@ def trace_megakernel(
     ids_rows = []  # (pd, B) global-id blocks, already in original ray order
 
     def _phase_ids_to_global(phase_ids, cur_perm):
-        """(pd, n_rows, TILE) kernel ids → (pd, B) global ids, original
-        ray order (inverse of the composed compaction permutation). The
-        restore sort is operand-count bound, so ids ride it packed three
-        10-bit ids per int32 word when the scene fits (lossless; see
-        diff/replay_kernel._pack_ids)."""
+        """(pd, n_rows, TILE) recorded ids → (pd, B), original ray order
+        (inverse of the composed compaction permutation). The kernel
+        records GLOBAL scene ids directly (kid-map pseudo-field gather in
+        megakernel_block.py) — an XLA-side jnp.take(kid_map, ids) here
+        would be an element-serial gather at ~8 ns/element, measured 59
+        of 78 ms of the whole fwd+bwd chunk. Ids ride the restore sort
+        packed three 10-bit ids per int32 word when the scene fits
+        (lossless; see diff/replay_kernel._pack_ids)."""
         pd_n = phase_ids.shape[0]
-        flat = phase_ids.reshape(pd_n, B)
-        n_kid = mega.kid_map.shape[0]
-        gid = jnp.where(
-            flat >= 0,
-            jnp.take(mega.kid_map, jnp.clip(flat, 0, n_kid - 1)),
-            jnp.int32(-1),
-        )
+        gid = phase_ids.reshape(pd_n, B)
         if pi > 0:  # identity permutation before the first boundary
-            from ..diff.replay_kernel import _pack_ids, _unpack_ids
-
-            pack = mega.n_prims <= 1023
-            cols = (_pack_ids(gid, pd_n) if pack
-                    else [gid[k] for k in range(pd_n)])
-            sorted_s = jax.lax.sort([cur_perm] + cols, num_keys=1,
-                                    is_stable=False)
-            gid = (_unpack_ids(sorted_s[1:], pd_n) if pack
-                   else jnp.stack(sorted_s[1:], axis=0))
+            # sort cost is flat in payload operand count on this platform
+            # (fbprof7), so ids ride unpacked — packing fusions would
+            # only add sequential ops
+            ops_s = [cur_perm] + [gid[k] for k in range(pd_n)]
+            sorted_s = jax.lax.sort(ops_s, num_keys=1, is_stable=False)
+            gid = jnp.stack(sorted_s[1:], axis=0)
         return gid
 
     for pi, pd in enumerate(phase_depths):

@@ -645,7 +645,24 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             else:
                 t, ib = intersect(ox, oy, oz, dx, dy, dz)
             if ids_ref is not None:
-                rec = jnp.where(t < BIG, ib, zero - 1.0).astype(jnp.int32)
+                # record the GLOBAL scene id: gather the kid-map pseudo-
+                # field appended after the resolve fields (one lane gather
+                # per table chunk — the XLA-side jnp.take alternative is
+                # an element-serial gather that cost 59 ms/chunk)
+                gbase = len(fields) * GROUPS
+                ibi0 = ib.astype(jnp.int32)
+                gidv = None
+                for c in range(n_lane_chunks):
+                    local = jnp.clip(ibi0 - c * TILE, 0, TILE - 1)
+                    g = jnp.take_along_axis(
+                        tabt_ref[gbase:gbase + GROUPS,
+                                 c * TILE:(c + 1) * TILE], local, axis=1)
+                    if gidv is None:
+                        gidv = g
+                    else:
+                        use = (ibi0 >= c * TILE) & (ibi0 < (c + 1) * TILE)
+                        gidv = jnp.where(use, g, gidv)
+                rec = jnp.where(t < BIG, gidv, zero - 1.0).astype(jnp.int32)
                 row = b * (GROUPS * n_sub) + s * GROUPS
                 ids_ref[pl.ds(row, GROUPS), :] = rec
             if "resolve" in ablate:
