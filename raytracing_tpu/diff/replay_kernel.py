@@ -1074,12 +1074,7 @@ def replay_grads_sorted(
     # lossless) — D=20 moves as 7 columns instead of 20.
     iota = jnp.arange(B, dtype=jnp.int32)
     key = (D - lengths) * B + iota
-    # Measured (fbprof7, v5e via tunnel): lax.sort cost here is flat in
-    # both row count and payload operand count (~0.2 ms in-program), so
-    # packing ids 3-per-word buys nothing in the sort and costs pack +
-    # unpack fusions — leave ids unpacked. (_pack_ids stays available;
-    # packing still pays where ids cross the HOST boundary.)
-    pack = False
+    pack = L <= 1023  # ids must fit 10 bits after the +1 bias
     if ray_regen is not None:
         # The unique key encodes BOTH the length (key // B) and the
         # original ray index (key % B), and camera rays are pure
@@ -1136,34 +1131,19 @@ def replay_grads_sorted(
     ok = jnp.bool_(True)
     acc = jnp.zeros((L, NG), jnp.float32)
     arangeL = jnp.arange(L, dtype=jnp.int32)
-    # Bounces are reduced in GROUPS of BGROUP sharing one prefix (the
-    # group max = the first bounce's, prefixes are non-increasing): on
-    # the tunneled platform each sequential HLO op costs ~0.1-1 ms of
-    # scheduling gap, so 20 per-bounce dots (+ slices/compares) dominate
-    # the program's op count; 4 grouped dots do ~2.6x the MXU work
-    # (~1 ms — rows past a bounce's own prefix are dead there and
-    # contribute exact zeros) for a fraction of the ops.
-    BGROUP = 5
-    for g in range(0, D, BGROUP):
-        ge = min(g + BGROUP, D)
-        P = min(B, -(-int(prefixes[g]) // step) * step)
+    for b in range(D):
+        P = min(B, -(-int(prefixes[b]) // step) * step)
         if P <= 0:
-            # plan says no ray reaches bounce g (nor any later bounce in
-            # the group): validate, contribute 0
-            ok = ok & (len_s[0] <= g)
+            # plan says no ray reaches bounce b: validate, contribute 0
+            ok = ok & (len_s[0] <= b)
             continue
         if P < B:
-            # first excluded ray must already be dead at bounce g; sorted
-            # descending, so then every excluded ray is — and dead rays
-            # stay dead for every later bounce in the group
-            ok = ok & (len_s[P] <= g)
+            # first excluded ray must already be dead at bounce b; sorted
+            # descending, so then every excluded ray is
+            ok = ok & (len_s[P] <= b)
         S = P // step
-        G = ge - g
-        # rows ordered (step, bounce-in-group, lane) on both sides
-        gm = (g5[:S, g:ge].transpose(0, 1, 3, 4, 2)
-              .reshape(S * G * step, NG))
-        idb = (ids_s[g:ge, :P].reshape(G, S, step)
-               .transpose(1, 0, 2).reshape(S * G * step))
+        gm = g5[:S, b].transpose(0, 2, 3, 1).reshape(P, NG)
+        idb = ids_s[b, :P]
         idb = jnp.clip(jnp.where(idb >= 0, idb, 0), 0, L - 1)
         oh = (idb[:, None] == arangeL[None, :]).astype(jnp.float32)
         acc = acc + jax.lax.dot_general(

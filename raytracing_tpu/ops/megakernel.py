@@ -1192,12 +1192,15 @@ def trace_megakernel(
         pd_n = phase_ids.shape[0]
         gid = phase_ids.reshape(pd_n, B)
         if pi > 0:  # identity permutation before the first boundary
-            # sort cost is flat in payload operand count on this platform
-            # (fbprof7), so ids ride unpacked — packing fusions would
-            # only add sequential ops
-            ops_s = [cur_perm] + [gid[k] for k in range(pd_n)]
-            sorted_s = jax.lax.sort(ops_s, num_keys=1, is_stable=False)
-            gid = jnp.stack(sorted_s[1:], axis=0)
+            from ..diff.replay_kernel import _pack_ids, _unpack_ids
+
+            pack = mega.n_prims <= 1023
+            cols = (_pack_ids(gid, pd_n) if pack
+                    else [gid[k] for k in range(pd_n)])
+            sorted_s = jax.lax.sort([cur_perm] + cols, num_keys=1,
+                                    is_stable=False)
+            gid = (_unpack_ids(sorted_s[1:], pd_n) if pack
+                   else jnp.stack(sorted_s[1:], axis=0))
         return gid
 
     for pi, pd in enumerate(phase_depths):
