@@ -1097,6 +1097,7 @@ def trace_megakernel(
     use_clusters: bool | None = None,  # block kernel AABB cluster culling
     regen=None,  # (perm (B,) i32) -> (tm, pix, smp): recompute instead of sort
     sort_regions: int = 1,  # compact within R independent regions (batched sort)
+    phase_prefixes=None,  # per-phase static live-ray row prefixes (+ ok flag)
 ):
     """Wavefront trace through the megakernel. B must be a multiple of 1024.
 
@@ -1125,6 +1126,21 @@ def trace_megakernel(
     TPU decision pass for replay differentiation (diff/replay.py). Phase
     compaction permutes rays mid-trace; each phase's id rows are restored
     to camera order with one fused sort keyed on the composed permutation.
+
+    ``phase_prefixes``: optional per-phase STATIC row prefixes (None or a
+    1024-multiple ≤ B per phase; the first phase must be None). Phase
+    ``pi`` then launches its kernel over only the first ``P`` rays —
+    compaction packs survivors first, so when ``P`` covers every live
+    ray the tail is dead and passes through unchanged (radiance kept,
+    zero new segments; exact). A trailing output flag ``ok`` (scalar
+    bool) is appended to the return tuple: False iff some prefix was
+    exceeded (then radiance/segments silently missed live rays — the
+    caller MUST check it; plan prefixes from a warm-up length histogram
+    like diff/replay_kernel.plan_prefixes). Measured motivation: after
+    depth-5 compaction only ~8% of final-scene rays live, but the tail
+    phase still pays the per-grid-step DMA fixed cost for every dead
+    1024-ray block (~70% of that kernel's device time, trace
+    2026-08-20).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1203,8 +1219,35 @@ def trace_megakernel(
                    else jnp.stack(sorted_s[1:], axis=0))
         return gid
 
+    if phase_prefixes is not None:
+        assert layout == "block", "phase_prefixes requires the block layout"
+        assert len(phase_prefixes) == len(phase_depths)
+        assert phase_prefixes[0] is None, "first phase sees every ray"
+        for p in phase_prefixes[1:]:
+            assert p is None or (0 < p <= B and p % BLOCK == 0), \
+                f"prefix must be a 1024-multiple in (0, {B}], got {p}"
+    prefix_ok = jnp.bool_(True)
     for pi, pd in enumerate(phase_depths):
         so = jnp.asarray([seed, offset], jnp.uint32)
+        pref = phase_prefixes[pi] if phase_prefixes is not None else None
+        if pref is not None and pref == B:
+            pref = None
+        rows_p = rows if pref is None else pref // TILE
+        if pref is not None:
+            # exactness check (validated on device, asserted by the
+            # caller): every ray past the prefix must be dead — the
+            # alive-first compaction guarantees it iff the prefix
+            # covers this phase's live count
+            prefix_ok = prefix_ok & jnp.logical_not(
+                jnp.any(state["act"][rows_p:] > 0.0))
+
+        def _sl(a):
+            return a if pref is None else a[:rows_p]
+
+        def _cat(top, tail):
+            return top if pref is None else jnp.concatenate(
+                [top, tail[rows_p:]], axis=0)
+
         if layout == "block":
             from .megakernel_block import make_megakernel_block
 
@@ -1216,20 +1259,33 @@ def trace_megakernel(
                 use_clusters=use_clusters)
             out = runp(mega.sph_sweep, mega.quad_sweep, mega.tabt_rep,
                        mega.noise_rep, mega.atlas_rep,
-                       state["ox"], state["oy"], state["oz"],
-                       state["dx"], state["dy"], state["dz"],
-                       state["tm"], state["pix"], state["smp"],
-                       state["tr"], state["tg"], state["tb"],
-                       state["rr"], state["rg"], state["rb"],
-                       state["act"], so)
+                       _sl(state["ox"]), _sl(state["oy"]), _sl(state["oz"]),
+                       _sl(state["dx"]), _sl(state["dy"]), _sl(state["dz"]),
+                       _sl(state["tm"]), _sl(state["pix"]), _sl(state["smp"]),
+                       _sl(state["tr"]), _sl(state["tg"]), _sl(state["tb"]),
+                       _sl(state["rr"]), _sl(state["rg"]), _sl(state["rb"]),
+                       _sl(state["act"]), so)
             if want_ids:
                 out = list(out)
-                ids_rows.append(_phase_ids_to_global(out.pop(), perm))
+                phase_ids = out.pop()
+                if pref is not None:
+                    # tail rays are dead: no recorded decisions
+                    phase_ids = jnp.concatenate(
+                        [phase_ids,
+                         jnp.full((pd, rows - rows_p, TILE), -1,
+                                  jnp.int32)], axis=1)
+                ids_rows.append(_phase_ids_to_global(phase_ids, perm))
             if last:
                 rr, rg, rb, bc = out
                 segments = segments + jnp.sum(bc)
-                state.update(rr=rr, rg=rg, rb=rb)
+                state.update(rr=_cat(rr, state["rr"]),
+                             rg=_cat(rg, state["rg"]),
+                             rb=_cat(rb, state["rb"]))
                 if want_counts:
+                    if pref is not None:
+                        bc = jnp.concatenate(
+                            [bc, jnp.zeros((rows - rows_p, TILE),
+                                           jnp.int32)], axis=0)
                     state["bcc"] = state["bcc"] + bc
                 break
         else:
@@ -1247,9 +1303,18 @@ def trace_megakernel(
         (rr, rg, rb, bc, ox2, oy2, oz2, dx2, dy2, dz2, tr2, tg2, tb2, act2) = out
         segments = segments + jnp.sum(bc)
         if want_counts:
+            if pref is not None:
+                bc = jnp.concatenate(
+                    [bc, jnp.zeros((rows - rows_p, TILE), jnp.int32)],
+                    axis=0)
             state["bcc"] = state["bcc"] + bc
-        state.update(ox=ox2, oy=oy2, oz=oz2, dx=dx2, dy=dy2, dz=dz2,
-                     rr=rr, rg=rg, rb=rb, tr=tr2, tg=tg2, tb=tb2, act=act2)
+        state.update(ox=_cat(ox2, state["ox"]), oy=_cat(oy2, state["oy"]),
+                     oz=_cat(oz2, state["oz"]), dx=_cat(dx2, state["dx"]),
+                     dy=_cat(dy2, state["dy"]), dz=_cat(dz2, state["dz"]),
+                     rr=_cat(rr, state["rr"]), rg=_cat(rg, state["rg"]),
+                     rb=_cat(rb, state["rb"]), tr=_cat(tr2, state["tr"]),
+                     tg=_cat(tg2, state["tg"]), tb=_cat(tb2, state["tb"]),
+                     act=_cat(act2, state["act"]))
         offset += pd
         if pi < len(phase_depths) - 1:
             # Compaction between phases as ONE multi-operand lax.sort:
@@ -1397,6 +1462,8 @@ def trace_megakernel(
         extras.append(jnp.concatenate(ids_rows, axis=0))
     if want_counts:
         extras.append(counts)
+    if phase_prefixes is not None:
+        extras.append(prefix_ok)
     if extras:
         return (radiance, segments, *extras)
     return radiance, segments

@@ -34,6 +34,9 @@ class RenderResult:
     seconds: float        # wall-clock render time (excludes compile)
     launches: int
     u8: Optional[np.ndarray] = None  # (H, W, 3) u8 (device-quantized)
+    ok: Optional[bool] = None  # phase-prefix validity (None: no prefixes);
+                               # False = a prefix was exceeded, rerun
+                               # without prefixes or replan
 
     @property
     def image_u8(self) -> np.ndarray:
@@ -73,6 +76,7 @@ def _render_chunk(
     use_clusters=None,          # megakernel sphere-sweep AABB culling
     ray_order: str = "sample",  # lane layout: "sample" | "pixel" (see below)
     sort_regions: int = 1,      # regional compaction sorts (megakernel)
+    phase_prefixes=None,        # megakernel static live-prefix tail phases
 ):
     """One launch: n_block contiguous pixels × spp_chunk samples.
     Returns (block radiance *sum* over the chunk's samples (n_block, 3),
@@ -129,6 +133,24 @@ def _render_chunk(
                            sample_start, seed, scene.flags.has_moving,
                            ray_order)
 
+        if phase_prefixes is not None:
+            # static live-prefix tail phases (ops/megakernel.py): exact
+            # iff every prefix covers its phase's live set — the ok flag
+            # is threaded to RenderResult.ok and MUST be checked
+            radiance, segments, ok = trace_megakernel(
+                mega, o, d, t, pixel_ids, sample_ids, cfg.background,
+                cfg.max_depth, seed, phase_depths=phases, active0=valid0,
+                sort_mode=sort_mode, use_clusters=use_clusters,
+                regen=regen, sort_regions=sort_regions,
+                phase_prefixes=phase_prefixes,
+            )
+            valid = (sample_ids < cfg.samples_per_pixel)[:, None]
+            radiance = jnp.where(valid, radiance, 0.0)
+            if ray_order == "pixel":
+                rad = radiance.reshape(n_block, spp_chunk, 3).sum(axis=1)
+            else:
+                rad = radiance.reshape(spp_chunk, n_block, 3).sum(axis=0)
+            return rad, segments, ok
         radiance, segments = trace_megakernel(
             mega, o, d, t, pixel_ids, sample_ids, cfg.background,
             cfg.max_depth, seed, phase_depths=phases, active0=valid0,
@@ -136,6 +158,8 @@ def _render_chunk(
             sort_regions=sort_regions,
         )
     else:
+        assert phase_prefixes is None, \
+            "phase_prefixes requires the megakernel path"
         radiance, segments = trace(
             scene,
             o,
@@ -183,7 +207,12 @@ class Renderer:
         k_bounces: int = 2,
         pool_fold: str = "sort",
         transfer: str = "f32",      # "f32" | "u8" (fused mode only)
+        phase_prefixes=None,        # static live-prefix tail phases — see
+                                    # trace_megakernel; RenderResult.ok
+                                    # MUST be checked when set
     ):
+        self.phase_prefixes = (tuple(phase_prefixes)
+                               if phase_prefixes is not None else None)
         self.cfg = cfg
         # "u8": quantize the final image on device and transfer only the
         # (H, W, 3) u8 bytes — the tunneled device→host link runs at
@@ -296,6 +325,7 @@ class Renderer:
                 use_clusters=self.use_clusters,
                 ray_order=self.ray_order,
                 sort_regions=self.sort_regions,
+                phase_prefixes=self.phase_prefixes,
             )
             self._chunk_fn = fn
             self._compiled = jax.jit(fn)
@@ -317,28 +347,40 @@ class Renderer:
         cfg = self.cfg
         transfer_u8 = self.transfer == "u8"
 
+        with_ok = self.phase_prefixes is not None
+
         def render_all(scene, params, accum0, seed):
             def body(i, carry):
-                accum, segs = carry
+                if with_ok:
+                    accum, segs, okc = carry
+                else:
+                    accum, segs = carry
                 c = i + start_schunk * n_blocks
                 s = c // n_blocks
                 b = c % n_blocks
-                rad, seg = chunk_fn(
+                out = chunk_fn(
                     scene, params, b * n_block, s * spp_chunk, seed)
+                rad, seg = out[0], out[1]
                 old = jax.lax.dynamic_slice(
                     accum, (b * n_block, 0), (n_block, 3))
                 accum = jax.lax.dynamic_update_slice(
                     accum, old + rad, (b * n_block, 0))
+                if with_ok:
+                    return accum, segs.at[i].set(seg), okc & out[2]
                 return accum, segs.at[i].set(seg)
 
             init = (accum0, jnp.zeros((total,), jnp.int32))
-            accum, segs = jax.lax.fori_loop(0, total, body, init)
+            if with_ok:
+                init = init + (jnp.bool_(True),)
+            out = jax.lax.fori_loop(0, total, body, init)
+            accum, segs = out[0], out[1]
+            tail = (out[2],) if with_ok else ()
             if transfer_u8:
                 mean = accum[: cfg.n_pixels] / cfg.samples_per_pixel
                 img = to_u8_image(mean.reshape(
                     cfg.image_height, cfg.image_width, 3))
-                return accum, segs, img
-            return accum, segs
+                return (accum, segs, img) + tail
+            return (accum, segs) + tail
 
         self._fused = jax.jit(render_all)
         self._fused_key = key
@@ -460,12 +502,13 @@ class Renderer:
             # executing a ~400 ms program (the outputs were correct; only
             # the wait was a no-op), which would inflate the benchmark
             # ~100x. np.asarray cannot return without the actual bytes.
+            with_ok = self.phase_prefixes is not None
             t0 = _time.perf_counter()
             if self.transfer == "u8":
                 # the f32 accumulator stays on device; only the u8 image
                 # (and the tiny segment vector) cross the ~25-50 MB/s link
-                _accum, segs_vec, img = compiled(
-                    scene, params, accum, seed_arr)
+                out = compiled(scene, params, accum, seed_arr)
+                _accum, segs_vec, img = out[0], out[1], out[2]
                 img_h = np.asarray(img)
                 segs_h = np.asarray(segs_vec, np.int64)
                 seconds = _time.perf_counter() - t0
@@ -475,8 +518,10 @@ class Renderer:
                     seconds=seconds,
                     launches=total,
                     u8=img_h,
+                    ok=bool(out[3]) if with_ok else None,
                 )
-            accum, segs_vec = compiled(scene, params, accum, seed_arr)
+            out = compiled(scene, params, accum, seed_arr)
+            accum, segs_vec = out[0], out[1]
             accum_h = np.asarray(accum)
             segs_h = np.asarray(segs_vec, np.int64)
             seconds = _time.perf_counter() - t0
@@ -487,20 +532,25 @@ class Renderer:
                 segments=segments,
                 seconds=seconds,
                 launches=total,
+                ok=bool(out[2]) if with_ok else None,
             )
 
         # Warm-up compile outside the timed region.
         fn(scene, params, jnp.int32(0), jnp.int32(0), seed_arr)[0].block_until_ready()
+        all_ok = jnp.bool_(True)
         t0 = _time.perf_counter()
         for s in range(start_schunk, n_schunks):
             for b in range(n_blocks):
-                rad, seg = fn(
+                out = fn(
                     scene,
                     params,
                     jnp.int32(b * self.n_block),
                     jnp.int32(s * self.spp_chunk),
                     seed_arr,
                 )
+                rad, seg = out[0], out[1]
+                if self.phase_prefixes is not None:
+                    all_ok = all_ok & out[2]
                 accum = accum.at[b * self.n_block : (b + 1) * self.n_block].add(rad)
                 seg_parts.append(seg)
                 launches += 1
@@ -529,6 +579,7 @@ class Renderer:
             segments=segments,
             seconds=seconds,
             launches=launches,
+            ok=(bool(all_ok) if self.phase_prefixes is not None else None),
         )
 
 

@@ -150,6 +150,87 @@ class TestMegakernel:
         assert int(s_g) == int(s_r)
         np.testing.assert_array_equal(np.asarray(r_g), np.asarray(r_r))
 
+    def test_phase_prefixes_exact_and_flagged(self):
+        """Static live-prefix tail phases: with prefixes covering every
+        live ray the render is bit-identical (radiance, segments, ids,
+        counts) and ok=True; an undersized prefix flips ok to False."""
+        scene, cfg = build("bouncing_spheres", image_width=32,
+                           samples_per_pixel=2, max_depth=8)
+        mega = build_mega_scene(scene)
+        n_pix = cfg.n_pixels
+        npad = -(-n_pix // BLOCK) * BLOCK
+        B = npad * 2
+        pix = jnp.tile(jnp.minimum(jnp.arange(npad, dtype=jnp.int32),
+                                   n_pix - 1), 2)
+        smp = jnp.repeat(jnp.arange(2, dtype=jnp.int32), npad)
+        act0 = jnp.tile(jnp.arange(npad) < n_pix, 2)
+        params = CameraParams.from_config(cfg)
+        derived = cam_mod.derive(cfg, params)
+        o, d, t = cam_mod.generate_rays(
+            cfg, derived, pix, smp, jnp.uint32(5),
+            motion_blur=scene.flags.has_moving,
+        )
+        args = (mega, o, d, t, pix, smp, cfg.background, 8, jnp.uint32(5))
+        kw = dict(interpret=True, phase_depths=[2, 3, 3], active0=act0,
+                  want_ids=True, want_counts=True)
+        r0, s0, ids0, cnt0 = trace_megakernel(*args, **kw)
+        # exact live counts after 2 and 5 bounces -> minimal valid prefixes
+        live2 = int((np.asarray(cnt0) > 2).sum())
+        live5 = int((np.asarray(cnt0) > 5).sum())
+        p2 = max(BLOCK, -(-live2 // BLOCK) * BLOCK)
+        p5 = max(BLOCK, -(-live5 // BLOCK) * BLOCK)
+        assert p2 < B, "test needs a shrinking live set"
+        r1, s1, ids1, cnt1, ok = trace_megakernel(
+            *args, **kw, phase_prefixes=(None, p2, p5))
+        assert bool(ok)
+        assert int(s0) == int(s1)
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+        np.testing.assert_array_equal(np.asarray(cnt0), np.asarray(cnt1))
+        # undersized prefix must be flagged
+        if p2 > BLOCK:
+            *_, ok_bad = trace_megakernel(
+                *args, **kw, phase_prefixes=(None, p2 - BLOCK, p5))
+            assert not bool(ok_bad)
+
+    def test_renderer_phase_prefixes(self):
+        """Renderer(phase_prefixes=...) must render bit-identically to the
+        plain renderer and surface the validity flag as RenderResult.ok."""
+        from raytracing_tpu.render.renderer import Renderer
+
+        scene, cfg = build("bouncing_spheres", image_width=32,
+                           samples_per_pixel=2, max_depth=8)
+        mega = build_mega_scene(scene)
+        # replicate the renderer's single-launch sample-major ray stream
+        # to get exact per-ray lengths for a minimal valid prefix plan
+        n_pix = cfg.n_pixels
+        npad = -(-n_pix // BLOCK) * BLOCK
+        pix = jnp.tile(jnp.minimum(jnp.arange(npad, dtype=jnp.int32),
+                                   n_pix - 1), 2)
+        smp = jnp.repeat(jnp.arange(2, dtype=jnp.int32), npad)
+        act0 = jnp.tile(jnp.arange(npad) < n_pix, 2)
+        derived = cam_mod.derive(cfg, CameraParams.from_config(cfg))
+        o, d, t = cam_mod.generate_rays(
+            cfg, derived, pix, smp, jnp.uint32(3),
+            motion_blur=scene.flags.has_moving)
+        _, _, cnt = trace_megakernel(
+            mega, o, d, t, pix, smp, cfg.background, 8, jnp.uint32(3),
+            interpret=True, phase_depths=[2, 3, 3], active0=act0,
+            want_counts=True)
+        B = npad * 2
+        p2 = max(BLOCK, -(-int((np.asarray(cnt) > 2).sum()) // BLOCK) * BLOCK)
+        p5 = max(BLOCK, -(-int((np.asarray(cnt) > 5).sum()) // BLOCK) * BLOCK)
+
+        kw = dict(hit_method="mega", mode="while",
+                  phase_depths=[2, 3, 3], max_rays_per_launch=B)
+        r_plain = Renderer(cfg, **kw).render(scene, seed=3)
+        r_pref = Renderer(cfg, **kw, phase_prefixes=(None, p2, p5)).render(
+            scene, seed=3)
+        assert r_plain.ok is None and r_pref.ok is True
+        assert r_plain.segments == r_pref.segments
+        np.testing.assert_array_equal(np.asarray(r_plain.radiance),
+                                      np.asarray(r_pref.radiance))
+
 
 class TestInKernelBVH:
     """The stackless chunked-BVH walk inside the megakernel
