@@ -789,9 +789,13 @@ def make_megakernel(mega: MegaScene, *, max_depth: int, background,
                     rxz = jnp.sqrt(
                         jnp.maximum(own_x * own_x + own_z * own_z, 0.0)
                     )
-                    theta = jnp.arctan2(rxz, -own_y)
+                    # _atan2f: Mosaic TC has no arctan2 lowering (see
+                    # megakernel_block.py)
+                    from .megakernel_block import _atan2f
+
+                    theta = _atan2f(rxz, -own_y)
                     x_safe = jnp.where(rxz > 0.0, own_x, 1.0)
-                    phi = jnp.arctan2(-own_z, x_safe) + jnp.pi
+                    phi = _atan2f(-own_z, x_safe) + jnp.pi
                     u_tex = phi * (1.0 / (2.0 * jnp.pi))
                     v_tex = theta * (1.0 / jnp.pi)
                     if n_quad_chunks > 0:

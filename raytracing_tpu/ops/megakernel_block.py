@@ -118,6 +118,34 @@ def _u01(x):
     )
 
 
+def _atan2f(y, x):
+    """f32 atan2 from elementwise primitives only (~2e-7 rad max error).
+
+    Mosaic TC has no ``arctan2`` lowering (NotImplementedError on real
+    TPU hardware — found when the earth scene first ran on-chip), so the
+    kernels carry their own: octant reduction to t = min/max ∈ [0, 1],
+    the tan(π/8) sub-reduction t → (t−1)/(t+1), the 4-term Cephes atanf
+    minimax polynomial, then quadrant reconstruction. Matches
+    jnp.arctan2 to ≲2e-7 rad (texture UV use: ≲1e-7 texel coordinate).
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.where(mx > 0.0, mx, 1.0)
+    red = t > 0.4142135623730951  # tan(pi/8)
+    tr = (t - 1.0) / (t + 1.0)
+    tt = jnp.where(red, tr, t)
+    z = tt * tt
+    p = ((((8.05374449538e-2 * z - 1.38776856032e-1) * z
+           + 1.99777106478e-1) * z - 3.33329491539e-1) * z * tt + tt)
+    p = jnp.where(red, p + 0.7853981633974483, p)
+    p = jnp.where(swap, 1.5707963267948966 - p, p)
+    p = jnp.where(x < 0.0, jnp.pi - p, p)
+    return jnp.where(y < 0.0, -p, p)
+
+
 def make_megakernel_block(mega, *, max_depth: int, background,
                           tmin: float = T_MIN, interpret: bool = False,
                           unroll: bool = False, ablate: tuple = (),
@@ -772,13 +800,17 @@ def make_megakernel_block(mega, *, max_depth: int, background,
             if has_image:
                 # nearest-texel image lookup (texture.hpp:91-122); sphere
                 # UV from the outward normal (sphere.hpp:100-111), quad
-                # UV = (alpha, beta) (quad.hpp:97-114)
+                # UV = (alpha, beta) (quad.hpp:97-114). atan2 via
+                # _atan2f: Mosaic TC has no arctan2 lowering (raises
+                # NotImplementedError on real TPU hardware; interpret
+                # mode hid this), so the kernel carries its own
+                # range-reduced polynomial (~2e-7 rad).
                 rxz = jnp.sqrt(
                     jnp.maximum(own_x * own_x + own_z * own_z, 0.0)
                 )
-                theta = jnp.arctan2(rxz, -own_y)
+                theta = _atan2f(rxz, -own_y)
                 x_safe = jnp.where(rxz > 0.0, own_x, 1.0)
-                phi = jnp.arctan2(-own_z, x_safe) + jnp.pi
+                phi = _atan2f(-own_z, x_safe) + jnp.pi
                 u_tex = phi * (1.0 / (2.0 * jnp.pi))
                 v_tex = theta * (1.0 / jnp.pi)
                 if n_quad > 0:
