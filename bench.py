@@ -103,6 +103,9 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     npix_pad = -(-n_pix // BLOCK) * BLOCK
     B = npix_pad * spp_chunk
     assert B % 2048 == 0
+    assert spp % spp_chunk == 0, \
+        f"spp={spp} must divide by spp_chunk={spp_chunk} (else the tail " \
+        "samples are silently dropped from the workload)"
     target = jnp.zeros((cfg.image_height, cfg.image_width, 3), jnp.float32)
     pix = jnp.tile(
         jnp.minimum(jnp.arange(npix_pad, dtype=jnp.int32), n_pix - 1),

@@ -47,7 +47,10 @@ Mosaic gotchas encoded here (each found the hard way on v5e):
   * per-primitive scalar loads from SMEM stall the vector pipeline (the v1
     design ran at ~5e5 rays/s); everything here is vector slices,
   * while_loop iterations cost ~2 µs regardless of body size — unroll
-    static trip counts, amortize data-dependent ones.
+    static trip counts, amortize data-dependent ones,
+  * no ``arctan2``/``arctan`` lowering on the real-hardware TC path
+    (interpret mode accepts them silently!) — use the polynomial
+    ``megakernel_block._atan2f``; sin/cos/exp/log/sqrt/rsqrt are fine.
 
 This is the forward/throughput path. Gradients: either the XLA integrator
 (render/integrator.py) end to end, or — the fast path — this kernel as the
