@@ -193,6 +193,23 @@ class TestMegakernel:
                 *args, **kw, phase_prefixes=(None, p2 - BLOCK, p5))
             assert not bool(ok_bad)
 
+    def test_atan2f_polynomial_accuracy(self):
+        """The in-kernel atan2 (Mosaic TC has no arctan2 lowering) must
+        match numpy to <5e-7 rad over random inputs and be exact on the
+        axes/zero cases the sphere-UV computation hits."""
+        from raytracing_tpu.ops.megakernel_block import _atan2f
+
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.normal(size=100000).astype(np.float32)) * 10
+        x = jnp.asarray(rng.normal(size=100000).astype(np.float32)) * 10
+        err = np.abs(np.asarray(_atan2f(y, x))
+                     - np.arctan2(np.asarray(y), np.asarray(x)))
+        assert err.max() < 5e-7, err.max()
+        for yy, xx in [(0.0, 1.0), (0.0, -1.0), (1.0, 0.0), (-1.0, 0.0),
+                       (0.0, 0.0)]:
+            got = float(_atan2f(jnp.float32(yy), jnp.float32(xx)))
+            assert abs(got - float(np.arctan2(yy, xx))) < 1e-6, (yy, xx)
+
     def test_renderer_phase_prefixes(self):
         """Renderer(phase_prefixes=...) must render bit-identically to the
         plain renderer and surface the validity flag as RenderResult.ok."""
