@@ -78,10 +78,10 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
 
 def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     """Build the fwd+bwd chunk machinery (shared by bench_fwd_bwd and
-    tools/fbprof6.py). Returns a dict with ``grads_chunk``,
-    ``plan_chunk``, ``plan_sweep``, ``args``, ``n_chunks``,
-    ``spp_chunk``, ``B`` and a ``set_prefixes`` hook (grads_chunk reads
-    the prefix plan set by the planning sweep)."""
+    tools/fbprof6.py). Returns a dict with ``grads_chunk``, ``plan`` (the
+    untimed planning sweep that installs the per-bounce prefix plan into
+    ``ns``), ``args``, ``n_chunks``, ``spp_chunk``, ``B`` and ``ns``
+    (grads_chunk reads ``ns['prefixes']`` at trace time)."""
     import jax
     import jax.numpy as jnp
 
@@ -348,14 +348,10 @@ def _bench_fwd_bwd_subprocess(timeout_s: int = 720, retries: int = 3):
         "print('FWD_BWD_RESULT', json.dumps(r))"
     ) % os.path.dirname(os.path.abspath(__file__))
     last_fail = None
-    # Reliability-first attempt order: the unfused per-chunk program is a
-    # much smaller XLA program the flaky remote compiler reliably
-    # finishes (the fused 25-chunk sweep hung 6/6 cold attempts across
-    # rounds 3-4 at 480 s each); fused costs ~4% less dispatch overhead
-    # and gets one shot in the middle in case its cache is warm.
     # fused first: its compile artifact is persistently cached from this
     # round's warm runs (cache hits bypass the flaky remote compiler
-    # entirely), and it is ~13% faster than unfused; the unfused cached
+    # entirely — the fused 25-chunk sweep hung 6/6 *cold* attempts across
+    # rounds 3-4), and it is ~13% faster than unfused; the unfused cached
     # program backs it up on the later attempts.
     plans = ["True", "False", "False"][:retries] or ["False"]
     for attempt in range(retries):

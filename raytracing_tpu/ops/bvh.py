@@ -89,7 +89,8 @@ def build_bvh(
     )
 
     # Prefer the C++ builder (identical semantics; tested equal in
-    # tests/test_native.py); NumPy below is the always-available fallback.
+    # tests/test_utils.py:47-91); NumPy below is the always-available
+    # fallback.
     try:
         from ..native import rt_native
 

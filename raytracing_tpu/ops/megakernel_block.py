@@ -127,6 +127,12 @@ def _atan2f(y, x):
     the tan(π/8) sub-reduction t → (t−1)/(t+1), the 4-term Cephes atanf
     minimax polynomial, then quadrant reconstruction. Matches
     jnp.arctan2 to ≲2e-7 rad (texture UV use: ≲1e-7 texel coordinate).
+
+    Signed-zero caveat: the final sign select uses ``y < 0.0``, so
+    atan2(-0.0, -1.0) returns +pi where jnp.arctan2 returns -pi (and
+    likewise ±0 on the +x axis both map to +0). Harmless for sphere-UV
+    (both boundary values hit the same texel); use jnp.signbit(y) in the
+    last select if exact arctan2 parity is ever needed.
     """
     ax = jnp.abs(x)
     ay = jnp.abs(y)

@@ -208,9 +208,16 @@ class Renderer:
         pool_fold: str = "sort",
         transfer: str = "f32",      # "f32" | "u8" (fused mode only)
         phase_prefixes=None,        # static live-prefix tail phases — see
-                                    # trace_megakernel; RenderResult.ok
-                                    # MUST be checked when set
+                                    # trace_megakernel; exactness is
+                                    # checked via RenderResult.ok
+        strict_prefixes: bool = True,  # raise when a phase prefix was
+                                       # exceeded (ok=False) instead of
+                                       # returning a silently-inexact
+                                       # image; pass False to handle
+                                       # RenderResult.ok manually (e.g.
+                                       # benchmarking prefix plans)
     ):
+        self.strict_prefixes = strict_prefixes
         self.phase_prefixes = (tuple(phase_prefixes)
                                if phase_prefixes is not None else None)
         self.cfg = cfg
@@ -418,16 +425,30 @@ class Renderer:
 
             spp = cfg.samples_per_pixel
             windows = [(s, min(spp_w, spp - s)) for s in range(0, spp, spp_w)]
+            # single-window u8 mode: quantize on device and transfer only
+            # the (H, W, 3) u8 bytes — same rationale as the fused path's
+            # transfer="u8" (the f32 radiance is ~12 bytes/pixel over a
+            # ~25-50 MB/s tunnel). Multi-window renders accumulate f32 on
+            # host, so they keep the f32 transfer.
+            u8_mode = self.transfer == "u8" and len(windows) == 1
+
+            def run_u8(params, seed_arr, sample_start, n_samples):
+                rad_sum, seg = run_window(params, seed_arr, sample_start,
+                                          n_samples=n_samples)
+                mean = rad_sum / cfg.samples_per_pixel
+                return to_u8_image(mean.reshape(
+                    cfg.image_height, cfg.image_width, 3)), seg
+
             exes = {}
             for _, n in windows:
                 if n not in exes:
-                    exes[n] = jax.jit(
-                        partial(run_window, n_samples=n),
-                        static_argnames=(),
-                    ).lower(params, jnp.uint32(seed), jnp.int32(0)).compile()
-            self._pool_exe = (windows, exes)
+                    fn = partial(run_u8 if u8_mode else run_window,
+                                 n_samples=n)
+                    exes[n] = jax.jit(fn).lower(
+                        params, jnp.uint32(seed), jnp.int32(0)).compile()
+            self._pool_exe = (windows, exes, u8_mode)
             self._pool_scene = scene
-        windows, exes = self._pool_exe
+        windows, exes, u8_mode = self._pool_exe
         t0 = _time.perf_counter()
         acc = None
         seg = 0
@@ -437,6 +458,10 @@ class Renderer:
             seg += int(np.uint32(hi)) * (1 << 32) + int(np.uint32(lo))
             acc = rad_h if acc is None else acc + rad_h
         seconds = _time.perf_counter() - t0
+        if u8_mode:
+            return RenderResult(
+                radiance=None, segments=seg, seconds=seconds,
+                launches=len(windows), u8=acc)
         mean = acc / cfg.samples_per_pixel
         return RenderResult(
             radiance=mean.reshape(cfg.image_height, cfg.image_width, 3),
@@ -444,6 +469,20 @@ class Renderer:
             seconds=seconds,
             launches=len(windows),
         )
+
+    def _checked(self, result: RenderResult) -> RenderResult:
+        """Enforce the phase-prefix exactness contract: an undersized
+        prefix (ok=False) means some live rays were dropped mid-path —
+        the image is silently wrong unless the caller opted into manual
+        handling with ``strict_prefixes=False``."""
+        if self.strict_prefixes and result.ok is False:
+            raise RuntimeError(
+                "phase_prefixes exceeded: a tail phase's static live "
+                "prefix was smaller than its live ray set, so the render "
+                "dropped paths (RenderResult.ok=False). Re-plan with "
+                "larger prefixes, or pass strict_prefixes=False to "
+                "inspect the flagged result.")
+        return result
 
     def render(
         self,
@@ -512,14 +551,14 @@ class Renderer:
                 img_h = np.asarray(img)
                 segs_h = np.asarray(segs_vec, np.int64)
                 seconds = _time.perf_counter() - t0
-                return RenderResult(
+                return self._checked(RenderResult(
                     radiance=None,
                     segments=seg_base + int(np.sum(segs_h, initial=0)),
                     seconds=seconds,
                     launches=total,
                     u8=img_h,
                     ok=bool(out[3]) if with_ok else None,
-                )
+                ))
             out = compiled(scene, params, accum, seed_arr)
             accum, segs_vec = out[0], out[1]
             accum_h = np.asarray(accum)
@@ -527,13 +566,13 @@ class Renderer:
             seconds = _time.perf_counter() - t0
             segments = seg_base + int(np.sum(segs_h, initial=0))
             mean = accum_h[:n_pix] / cfg.samples_per_pixel
-            return RenderResult(
+            return self._checked(RenderResult(
                 radiance=mean.reshape(cfg.image_height, cfg.image_width, 3),
                 segments=segments,
                 seconds=seconds,
                 launches=total,
                 ok=bool(out[2]) if with_ok else None,
-            )
+            ))
 
         # Warm-up compile outside the timed region.
         fn(scene, params, jnp.int32(0), jnp.int32(0), seed_arr)[0].block_until_ready()
@@ -574,13 +613,13 @@ class Renderer:
             print("\rDone.                        ", flush=True)
 
         mean = accum_h[:n_pix] / cfg.samples_per_pixel
-        return RenderResult(
+        return self._checked(RenderResult(
             radiance=mean.reshape(cfg.image_height, cfg.image_width, 3),
             segments=segments,
             seconds=seconds,
             launches=launches,
             ok=(bool(all_ok) if self.phase_prefixes is not None else None),
-        )
+        ))
 
 
 def render(

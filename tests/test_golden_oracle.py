@@ -51,16 +51,25 @@ class TestGolden:
         _compare("earth", cam_overrides=dict(image_width=48, samples_per_pixel=2,
                                              max_depth=4))
 
-    def test_earth_uses_vendored_asset_file(self):
+    def test_earth_uses_vendored_asset_file(self, monkeypatch):
         """The earth scene's default texture must come from the committed
         images/earthmap.ppm via the rtw_image pipeline (probing + PPM
         decode), not the in-memory procedural generator — and its atlas
-        texels must round-trip the file bit-exactly."""
+        texels must round-trip the file bit-exactly.
+
+        find_image is patched so a real earthmap.jpg (resolvable via
+        $RTW_IMAGES or ../images probing — which earth()'s docstring
+        invites) cannot shadow the vendored PPM and flip the scene onto
+        the jpg path; test_earth_real_asset covers the jpg separately."""
         import numpy as np
 
         from raytracing_tpu.models.scenes import build
         from raytracing_tpu.scene import assets
 
+        real_find = assets.find_image
+        monkeypatch.setattr(
+            assets, "find_image",
+            lambda name: None if name == "earthmap.jpg" else real_find(name))
         path = assets.find_image("earthmap.ppm")
         assert path is not None, "vendored images/earthmap.ppm not found"
         scene, _ = build("earth")

@@ -248,6 +248,19 @@ class TestMegakernel:
         np.testing.assert_array_equal(np.asarray(r_plain.radiance),
                                       np.asarray(r_pref.radiance))
 
+        # an undersized prefix must RAISE by default (strict_prefixes):
+        # RenderResult.ok=False means paths were silently dropped
+        if p2 > BLOCK:
+            import pytest
+
+            bad = (None, p2 - BLOCK, p5)
+            with pytest.raises(RuntimeError, match="phase_prefixes"):
+                Renderer(cfg, **kw, phase_prefixes=bad).render(scene, seed=3)
+            # ... and be surfaced, not raised, under the explicit opt-out
+            r_bad = Renderer(cfg, **kw, phase_prefixes=bad,
+                             strict_prefixes=False).render(scene, seed=3)
+            assert r_bad.ok is False
+
 
 class TestInKernelBVH:
     """The stackless chunked-BVH walk inside the megakernel

@@ -1,0 +1,197 @@
+"""C++ ground-truth comparison harness (VERDICT r4 item 6).
+
+Builds the actual reference renderer (/root/reference/src/main.cpp —
+header-only C++11, stb stubbed since no scene we compare loads an
+image), renders scaled configs of the deterministic reference scenes,
+and compares image statistics against this framework's renderer:
+per-channel u8 means and the non-black pixel fraction.
+
+Why statistics, not pixels: the two renderers share every formula
+(SURVEY.md §2 citations throughout the package) but not the RNG engine
+(std::rand() vs counter PCG4D — a deliberate §2.8.3 divergence) or the
+precision (f64 vs f32), so equal-seed bitwise comparison is impossible;
+at equal spp the per-channel *mean* estimates the same integral and
+converges to it (SURVEY.md §7 parity policy). Scenes whose *content*
+depends on the C++ RNG stream (bouncing_spheres layout, perlin tables)
+are excluded; quads/cornell_box/checkered_spheres are geometry-
+deterministic.
+
+Usage:
+  python tools/cpp_compare.py [--out CPP_COMPARE.json] [--quick]
+
+Writes the stored comparison JSON consumed by the repo (committed as
+CPP_COMPARE.json); tests/test_cpp_compare.py runs a tiny live config of
+the same pipeline in CI.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_SRC = "/root/reference/src"
+
+STB_STUB = """\
+#ifndef STB_STUB_H
+#define STB_STUB_H
+// Minimal stb_image stub: none of the compared scenes load an image
+// (earth is excluded — it would hit the magenta missing-asset sentinel,
+// rtw_stb_image.hpp:107). stbi_loadf returning NULL exercises the
+// reference's documented failure path.
+static inline float *stbi_loadf(const char *, int *, int *, int *, int) {
+    return 0;
+}
+static inline void stbi_image_free(void *) {}
+#define STBI_FAILURE_REASON
+static inline const char *stbi_failure_reason(void) { return "stubbed"; }
+#endif
+"""
+
+SCENE_IDS = {  # reference switch() id (main.cpp:369) -> our registry name
+    "quads": 5,
+    "cornell_box": 7,
+    "checkered_spheres": 2,
+    "simple_light": 6,
+}
+
+
+def build_reference(workdir: str, scene: str, width: int, spp: int,
+                    depth: int) -> str:
+    """Copy the reference source, patch scene id + camera constants, build.
+    Returns the executable path."""
+    src = os.path.join(workdir, "src")
+    if os.path.exists(src):
+        shutil.rmtree(src)
+    shutil.copytree(REF_SRC, src)
+    stubdir = os.path.join(workdir, "stb")
+    os.makedirs(stubdir, exist_ok=True)
+    with open(os.path.join(stubdir, "stb_image.h"), "w") as f:
+        f.write(STB_STUB)
+    main = os.path.join(src, "main.cpp")
+    with open(main) as f:
+        text = f.read()
+    text = text.replace("switch (7)", f"switch ({SCENE_IDS[scene]})")
+    text = re.sub(r"cam\.image_width = \d+;",
+                  f"cam.image_width = {width};", text)
+    text = re.sub(r"cam\.samples_per_pixel = \d+;",
+                  f"cam.samples_per_pixel = {spp};", text)
+    text = re.sub(r"cam\.max_depth = \d+;",
+                  f"cam.max_depth = {depth};", text)
+    with open(main, "w") as f:
+        f.write(text)
+    exe = os.path.join(workdir, "raytracer")
+    subprocess.run(
+        ["g++", "-O2", "-std=c++11", f"-I{src}", f"-I{stubdir}", main,
+         "-o", exe],
+        check=True, capture_output=True, text=True)
+    return exe
+
+
+def read_ppm_ascii(path: str):
+    """Parse the reference's P3 ASCII PPM (camera.hpp:36-37 header +
+    color.hpp:55-57 triplets) into an (H, W, 3) uint8 array."""
+    import numpy as np
+
+    with open(path) as f:
+        tok = f.read().split()
+    assert tok[0] == "P3", tok[0]
+    w, h, maxv = int(tok[1]), int(tok[2]), int(tok[3])
+    assert maxv == 255
+    data = np.array(tok[4:4 + w * h * 3], dtype=np.int64)
+    return data.reshape(h, w, 3).astype("uint8")
+
+
+def stats(img):
+    import numpy as np
+
+    img = np.asarray(img)
+    return dict(
+        mean=[round(float(m), 3) for m in img.reshape(-1, 3).mean(axis=0)],
+        nonblack=round(float((img.max(axis=-1) > 0).mean()), 4),
+        shape=list(img.shape[:2]),
+    )
+
+
+def run_config(scene: str, width: int, spp: int, depth: int,
+               seed: int = 7, timeout: int = 900):
+    """Render one config with both renderers; return the comparison dict."""
+    with tempfile.TemporaryDirectory() as wd:
+        exe = build_reference(wd, scene, width, spp, depth)
+        out = os.path.join(wd, "out.ppm")
+        subprocess.run([exe, out], check=True, timeout=timeout,
+                       capture_output=True)
+        ref = stats(read_ppm_ascii(out))
+
+    from raytracing_tpu.models.scenes import build
+    from raytracing_tpu.render.renderer import Renderer
+
+    sc, cfg = build(scene, image_width=width, samples_per_pixel=spp,
+                    max_depth=depth)
+    res = Renderer(cfg).render(sc, seed=seed)
+    ours = stats(res.image_u8)
+    assert ours["shape"] == ref["shape"], (ours["shape"], ref["shape"])
+
+    mean_diff = max(abs(a - b) for a, b in zip(ours["mean"], ref["mean"]))
+    return dict(
+        scene=scene, width=width, spp=spp, depth=depth,
+        cpp=ref, jax=ours,
+        mean_abs_diff_u8=round(mean_diff, 3),
+        nonblack_abs_diff=round(abs(ours["nonblack"] - ref["nonblack"]), 4),
+    )
+
+
+# (scene, width, spp, depth, mean tolerance in u8 counts, nonblack tol).
+# Tolerances are dominated by Monte-Carlo noise of the *mean* estimator
+# plus the f64→f32 and RNG-engine divergences; cornell is the noisiest
+# (strong indirect lighting, black background).
+CONFIGS = [
+    ("quads", 128, 32, 8, 3.0, 0.01),
+    ("checkered_spheres", 128, 32, 16, 3.0, 0.01),
+    ("cornell_box", 96, 64, 16, 5.0, 0.03),
+    ("simple_light", 128, 48, 16, 3.0, 0.03),
+]
+QUICK = [("quads", 64, 8, 4, 4.0, 0.02)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CPP_COMPARE.json"))
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (deterministic CI use)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    results = []
+    ok = True
+    for scene, w, spp, d, mtol, nbtol in (QUICK if args.quick else CONFIGS):
+        r = run_config(scene, w, spp, d)
+        r["pass"] = bool(r["mean_abs_diff_u8"] <= mtol
+                         and r["nonblack_abs_diff"] <= nbtol)
+        r["tol"] = dict(mean=mtol, nonblack=nbtol)
+        ok &= r["pass"]
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    doc = dict(backend=jax.default_backend(), all_pass=ok, configs=results)
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {args.out}  all_pass={ok}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
