@@ -41,6 +41,8 @@ REF_SRC = "/root/reference/src"
 STB_STUB = """\
 #ifndef STB_STUB_H
 #define STB_STUB_H
+#include <cstdlib>
+#define STBI_FREE(p) free(p)
 // Minimal stb_image stub: none of the compared scenes load an image
 // (earth is excluded — it would hit the magenta missing-asset sentinel,
 // rtw_stb_image.hpp:107). stbi_loadf returning NULL exercises the
@@ -129,11 +131,22 @@ def run_config(scene: str, width: int, spp: int, depth: int,
                        capture_output=True)
         ref = stats(read_ppm_ascii(out))
 
+    import numpy as np
+
     from raytracing_tpu.models.scenes import build
     from raytracing_tpu.render.renderer import Renderer
 
     sc, cfg = build(scene, image_width=width, samples_per_pixel=spp,
                     max_depth=depth)
+    # Reference quirk: main.cpp writes the aspect as a *float* literal
+    # (16.0f/9.0f, main.cpp:83), so image_height = int(w / 1.77777779f)
+    # loses a row vs the exact 16/9 our build standardizes on (400x224
+    # vs 400x225). Re-derive our height from the f32-rounded aspect so
+    # the two renders cover the same pixel grid.
+    cpp_aspect = float(np.float32(cfg.aspect_ratio))
+    if cpp_aspect != cfg.aspect_ratio:
+        sc, cfg = build(scene, image_width=width, samples_per_pixel=spp,
+                        max_depth=depth, aspect_ratio=cpp_aspect)
     res = Renderer(cfg).render(sc, seed=seed)
     ours = stats(res.image_u8)
     assert ours["shape"] == ref["shape"], (ours["shape"], ref["shape"])
