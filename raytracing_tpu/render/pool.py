@@ -181,21 +181,37 @@ def trace_pool(
         is_sent = gid >= total
         # partition key: dead rays sorted by gid (banked in gid order so
         # the final fold's sort sees presorted runs), then sentinels,
-        # then alive. Sort cost is operand-count bound (CLAUDE.md), so
-        # (gid, dep) travel as ONE packed i32 — dep < 128 and
-        # gid < 2^24 (asserted via MAX_POOL_STREAM)
+        # then alive. (gid, dep) travel as ONE packed i32 — dep < 128 and
+        # gid < 2^24 (asserted via MAX_POOL_STREAM). Radiance and
+        # throughput share 3 overlay columns: an ALIVE ray's radiance is
+        # identically 0 (for this material set every path has exactly one
+        # terminal contribution — lambertian/metal/dielectric emit
+        # nothing, diffuse_light and background terminate the path), and
+        # a dead ray's throughput is never read again, so
+        # vr = alive ? throughput : radiance loses nothing and the sort
+        # moves 11 operands instead of 15 (device-trace round 5: the
+        # per-boundary sort was ~1.05 ms/iter at 15 operands, 262k rows).
         key = jnp.where(
             alive, jnp.int32(1 << 25) + lane,
             jnp.where(is_sent, jnp.int32(1 << 24) + lane, gid))
         packed = dep * jnp.int32(1 << 24) + gid
+        vr = jnp.where(alive, tr.reshape(P), rr.reshape(P))
+        vg = jnp.where(alive, tg.reshape(P), rg.reshape(P))
+        vb = jnp.where(alive, tb.reshape(P), rb.reshape(P))
         ops = [key,
                ox.reshape(P), oy.reshape(P), oz.reshape(P),
                dx.reshape(P), dy.reshape(P), dz.reshape(P),
-               tr.reshape(P), tg.reshape(P), tb.reshape(P),
-               rr.reshape(P), rg.reshape(P), rb.reshape(P),
+               vr, vg, vb,
                packed]
-        skey, sox, soy, soz, sdx, sdy, sdz, str_, stg, stb, srr, srg, srb, \
+        skey, sox, soy, soz, sdx, sdy, sdz, svr, svg, svb, \
             spacked = jax.lax.sort(ops, num_keys=1, is_stable=False)
+        salive = skey >= (1 << 25)
+        str_ = jnp.where(salive, svr, 1.0)
+        stg = jnp.where(salive, svg, 1.0)
+        stb = jnp.where(salive, svb, 1.0)
+        srr = jnp.where(salive, 0.0, svr)
+        srg = jnp.where(salive, 0.0, svg)
+        srb = jnp.where(salive, 0.0, svb)
         sgid = spacked & jnp.int32((1 << 24) - 1)
         sdep = spacked >> 24
         n_dead = jnp.sum((skey < (1 << 24)).astype(i32))

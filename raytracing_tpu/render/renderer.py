@@ -194,7 +194,10 @@ class Renderer:
         hit_method: str = "auto",
         mode: str = "scan",
         remat: bool = False,
-        max_rays_per_launch: int = 1 << 20,
+        # 2^18 measured best on the TPU bench workload across rounds 2-5
+        # (2^19/2^20 run 5-10% slower and large programs stress the remote
+        # compiler); small workloads are unaffected (they fit one launch)
+        max_rays_per_launch: int = 1 << 18,
         fused: bool = True,
         phase_depths=None,
         sort_mode: str = "alive",

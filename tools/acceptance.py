@@ -63,7 +63,15 @@ def run_config(n, c, seed=7):
     out = dict(config=n, scene=c["scene"], width=c["width"], spp=c["spp"],
                depth=c["depth"])
     r = Renderer(cfg)
-    res = r.render(scene, seed=seed)
+    # Best-of-3 (same discipline as bench.py): the tunneled platform has
+    # up to ~3x run-to-run wall variance, and the FIRST execution of a
+    # freshly loaded program pays a further one-time hit (round-5
+    # measurement: 1.61 s first vs 0.41 s steady on config 3) — a single
+    # timed run badly underreports steady-state throughput.
+    first = r.render(scene, seed=seed)
+    res = min([first] + [r.render(scene, seed=seed) for _ in range(2)],
+              key=lambda x: x.seconds)
+    out["cold_seconds"] = round(first.seconds, 4)
     u8 = res.image_u8
     out.update(
         segments=int(res.segments),

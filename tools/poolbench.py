@@ -35,7 +35,7 @@ def main():
     ap.add_argument(
         "--variants", nargs="*",
         default=["phased", "pool:262144:2", "pool:262144:4", "pool:131072:2"],
-        help="'phased' or 'pool:<pool_size>:<k_bounces>'")
+        help="'phased' or 'pool:<pool_size>:<k_bounces>[:<fold>]'")
     args = ap.parse_args()
 
     import bench
@@ -56,9 +56,11 @@ def main():
                 r = Renderer(cfg, hit_method="mega", mode="while",
                              max_rays_per_launch=1 << 18, transfer="u8")
             else:
-                _, ps, kb = v.split(":")
-                r = Renderer(cfg, schedule="pool", pool_size=int(ps),
-                             k_bounces=int(kb), transfer="u8")
+                parts = v.split(":")
+                fold = parts[3] if len(parts) > 3 else "sort"
+                r = Renderer(cfg, schedule="pool", pool_size=int(parts[1]),
+                             k_bounces=int(parts[2]), pool_fold=fold,
+                             transfer="u8")
             res = min((r.render(scene, seed=args.seed)
                        for _ in range(args.reps)), key=lambda x: x.seconds)
             print(json.dumps(dict(
