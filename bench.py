@@ -130,24 +130,32 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
 
     interpret = jax.default_backend() == "cpu"  # CI/dev exercise path
 
+    ns = {"prefixes": None,         # replay per-bounce prefixes
+          "decide_prefixes": None}  # decide-pass per-PHASE prefixes
+
     def decide(sample0):
         o, d, t, smp = make_rays(sample0)
-        rad, _, ids, cnt = trace_megakernel(
+        out = trace_megakernel(
             mega, o, d, t, pix, smp, cfg.background, max_depth,
             jnp.uint32(seed), phase_depths=phases, active0=act0,
             want_ids=True, want_counts=True, interpret=interpret,
+            phase_prefixes=ns["decide_prefixes"],
             regen=make_regen(n_pix, npix_pad, spp_chunk, jnp.int32(0),
                              sample0, jnp.uint32(seed),
                              scene.flags.has_moving),
         )
-        return rad, ids, cnt
+        if ns["decide_prefixes"] is not None:
+            rad, _, ids, cnt, ok = out
+        else:
+            (rad, _, ids, cnt), ok = out, jnp.bool_(True)
+        return rad, ids, cnt, ok
 
     import numpy as np
 
     # ---- untimed planning sweep: per-bounce live-ray maxima over chunks
     # (bounce b touches the rays with recorded length > b) -------------
     def plan_chunk(sample0):
-        _, _, cnt = decide(sample0)
+        _, _, cnt, _ = decide(sample0)
         hist = jnp.bincount(jnp.clip(cnt, 0, max_depth),
                             length=max_depth + 1)
         return jnp.cumsum(hist[::-1])[::-1]  # nb[k] = #rays len >= k
@@ -160,10 +168,8 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
         return jax.lax.fori_loop(
             0, n_chunks, body, jnp.zeros((max_depth + 1,), jnp.int32))
 
-    ns = {"prefixes": None}  # set by the planning sweep before tracing
-
     def grads_chunk(center, rgb, sample0):
-        rad_pre, ids, cnt = decide(sample0)
+        rad_pre, ids, cnt, ok_d = decide(sample0)
         img = (rad_pre * act0[:, None]).reshape(spp_chunk, npix_pad, 3)
         img = img.mean(axis=0)[:n_pix].reshape(
             cfg.image_height, cfg.image_width, 3
@@ -200,7 +206,7 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
             max_depth, jnp.uint32(seed), rad_bar, cnt,
             prefixes=ns["prefixes"], ray_regen=ray_regen)
         gc, gr = tab_vjp(tbar)
-        return loss, gc, gr, ok, jnp.sum(cnt)
+        return loss, gc, gr, ok & ok_d, jnp.sum(cnt)
 
     args = (scene.spheres.center, scene.textures.rgb)
 
@@ -218,6 +224,21 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
             min(B, -(-int(nb_max[b + 1]) // step) * step)
             for b in range(max_depth)
         )
+        if phases is not None:
+            # decide-pass phase prefixes (round-5 lever): the phase
+            # starting after s bounces touches only the rays still alive
+            # then — a prefix after the alive-first boundary compaction.
+            # nb_max[s+1] = max over chunks of #rays with length > s;
+            # one extra block absorbs nothing (the plan replays the
+            # exact same chunks) but keeps the ok-assert unambiguous.
+            starts = [0]
+            for pdep in phases[:-1]:
+                starts.append(starts[-1] + pdep)
+            ns["decide_prefixes"] = tuple(
+                [None] + [max(step,
+                              min(B, -(-int(nb_max[min(s + 1, max_depth)])
+                                       // step) * step))
+                          for s in starts[1:]])
         return ns["prefixes"]
 
     return dict(grads_chunk=grads_chunk, plan=plan, args=args,

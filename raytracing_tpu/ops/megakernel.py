@@ -164,8 +164,17 @@ def build_mega_scene(scene: Scene) -> MegaScene:
     has_image = bool(np.any(tkind == fl.TK_IMAGE))
     perm_np, vec_np = fl.perlin_tables(scene)
     if has_image:
-        atlas_np, _, _ = fl.atlas_table(scene)
+        atlas_np, _, small_ok = fl.atlas_table(scene)
         atlas_rep_np, _, _ = fl.atlas_table_rep(scene)
+        if not small_ok:
+            # big-image tier: (1, T) int32 RGB-packed atlas, broadcast to
+            # chunks at fetch time (flatten.MAX_PACKED_TEXELS). The block
+            # kernel detects the tier by dtype; the group-layout kernel
+            # has no packed fetch, so trace_megakernel forces the block
+            # layout for these scenes.
+            packed_np, _, packed_ok = fl.atlas_table_packed(scene)
+            if packed_ok:
+                atlas_rep_np = packed_np
     else:
         atlas_np = np.zeros((8, TILE), np.float32)
         atlas_rep_np = np.zeros((24, TILE), np.float32)
@@ -1186,6 +1195,12 @@ def trace_megakernel(
                           and mega.n_prims // CHUNK > BVH_MIN_CHUNKS))
     if layout is None:
         layout = "group" if resolved_bvh else "block"
+    if mega.atlas_rep.dtype == jnp.int32 and layout == "group":
+        # the packed big-image atlas fetch exists only in the block
+        # kernel; the dense-sweep block layout is correct (if slower)
+        # for BVH-scale scenes, so fall back rather than fail
+        layout = "block"
+        resolved_bvh = False
     assert layout in ("block", "group")
     if layout == "block":
         assert not resolved_bvh or use_bvh is None, \
@@ -1201,30 +1216,32 @@ def trace_megakernel(
         assert layout == "block", "want_counts requires the block layout"
         state["bcc"] = jnp.zeros((rows, TILE), jnp.int32)
 
-    ids_rows = []  # (pd, B) global-id blocks, already in original ray order
+    # Recorded winner ids, two tiers (the kernel records GLOBAL scene ids
+    # directly — kid-map pseudo-field gather in megakernel_block.py; an
+    # XLA-side jnp.take(kid_map, ids) here would be an element-serial
+    # gather at ~8 ns/element, measured 59 of 78 ms of the whole fwd+bwd
+    # chunk):
+    # * phase 1 is recorded under the identity permutation — already in
+    #   camera order, free (ids_rows).
+    # * later phases' ids are packed three 10-bit ids per int32 word
+    #   (lossless for n_prims <= 1023; diff/replay_kernel._pack_ids) and
+    #   DEFERRED: the words ride the remaining boundary sorts as extra
+    #   operands and are restored to camera order by the one final
+    #   unpermute sort, instead of paying a dedicated restore sort per
+    #   phase (round-5 trace: the per-phase restores were 2 of the 5
+    #   ~1.5 ms sorts in each fwd+bwd decision chunk).
+    ids_rows = []    # (pd, B) blocks already in camera order (phase 1)
+    pending_ids = [] # [{'pd': int, 'cols': [(B,) i32 words]}] later phases
 
-    def _phase_ids_to_global(phase_ids, cur_perm):
-        """(pd, n_rows, TILE) recorded ids → (pd, B), original ray order
-        (inverse of the composed compaction permutation). The kernel
-        records GLOBAL scene ids directly (kid-map pseudo-field gather in
-        megakernel_block.py) — an XLA-side jnp.take(kid_map, ids) here
-        would be an element-serial gather at ~8 ns/element, measured 59
-        of 78 ms of the whole fwd+bwd chunk. Ids ride the restore sort
-        packed three 10-bit ids per int32 word when the scene fits
-        (lossless; see diff/replay_kernel._pack_ids)."""
+    def _ids_pack(phase_ids):
+        from ..diff.replay_kernel import _pack_ids
+
         pd_n = phase_ids.shape[0]
         gid = phase_ids.reshape(pd_n, B)
-        if pi > 0:  # identity permutation before the first boundary
-            from ..diff.replay_kernel import _pack_ids, _unpack_ids
-
-            pack = mega.n_prims <= 1023
-            cols = (_pack_ids(gid, pd_n) if pack
-                    else [gid[k] for k in range(pd_n)])
-            sorted_s = jax.lax.sort([cur_perm] + cols, num_keys=1,
-                                    is_stable=False)
-            gid = (_unpack_ids(sorted_s[1:], pd_n) if pack
-                   else jnp.stack(sorted_s[1:], axis=0))
-        return gid
+        if mega.n_prims <= 1023:
+            return dict(pd=pd_n, pack=True, cols=_pack_ids(gid, pd_n))
+        return dict(pd=pd_n, pack=False,
+                    cols=[gid[k] for k in range(pd_n)])
 
     if phase_prefixes is not None:
         assert layout == "block", "phase_prefixes requires the block layout"
@@ -1281,7 +1298,10 @@ def trace_megakernel(
                         [phase_ids,
                          jnp.full((pd, rows - rows_p, TILE), -1,
                                   jnp.int32)], axis=1)
-                ids_rows.append(_phase_ids_to_global(phase_ids, perm))
+                if pi == 0:
+                    ids_rows.append(phase_ids.reshape(pd, B))
+                else:
+                    pending_ids.append(_ids_pack(phase_ids))
             if last:
                 rr, rg, rb, bc = out
                 segments = segments + jnp.sum(bc)
@@ -1381,12 +1401,22 @@ def trace_megakernel(
                 # non-unique key: stability (iota tiebreak) keeps the
                 # partition deterministic
                 stable = True
+            overlay = False
             if pi == 0:
                 rad0 = (state["rr"], state["rg"], state["rb"])
                 names = [k for k in state.keys()
                          if k not in ("act", "rr", "rg", "rb")]
             else:
-                names = [k for k in state.keys() if k != "act"]
+                # radiance/throughput overlay (round 5, same argument as
+                # render/pool.py): an ALIVE ray's phase-accumulated
+                # radiance is identically zero (every path has exactly
+                # one terminal contribution with this material set), and
+                # a DEAD ray's throughput is never read again — so the
+                # two triples share 3 sort columns instead of 6,
+                # reconstructed from the dead bit after the sort.
+                overlay = True
+                names = [k for k in state.keys()
+                         if k not in ("act", "rr", "rg", "rb")]
             if regen is not None:
                 # tm/pix/smp are pure functions of the ORIGINAL ray index
                 # (camera RNG streams keyed on (pixel, sample)): recompute
@@ -1394,6 +1424,15 @@ def trace_megakernel(
                 # more 4-byte columns through the sort
                 names = [k for k in names if k not in ("tm", "pix", "smp")]
             ops = [key] + [state[k].reshape(B) for k in names] + [perm]
+            if overlay:
+                dead_now = alive_flat <= 0.0
+                for tk, rk in (("tr", "rr"), ("tg", "rg"), ("tb", "rb")):
+                    i = 1 + names.index(tk)
+                    ops[i] = jnp.where(dead_now, state[rk].reshape(B),
+                                       ops[i])
+            n_core = len(ops)
+            for p in pending_ids:  # deferred id words follow the lanes
+                ops.extend(p["cols"])
             if sort_regions > 1:
                 # regional compaction: R independent sorts of contiguous
                 # B/R-lane regions (sorted along the minor axis, batched
@@ -1414,6 +1453,10 @@ def trace_megakernel(
                 sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=stable)
             for k, v in zip(names, sorted_ops[1:1 + len(names)]):
                 state[k] = v.reshape(rows, TILE)
+            k0 = n_core
+            for p in pending_ids:
+                p["cols"] = list(sorted_ops[k0:k0 + len(p["cols"])])
+                k0 += len(p["cols"])
             if sort_mode == "coherent":
                 dead_bit = sorted_ops[0] >= (1 << 30)
             else:
@@ -1423,7 +1466,18 @@ def trace_megakernel(
             if pi == 0:
                 zero2 = jnp.zeros((rows, TILE), jnp.float32)
                 state.update(rr=zero2, rg=zero2, rb=zero2)
-            perm = sorted_ops[-1]
+            else:
+                # un-overlay: dead lanes' sorted "throughput" is their
+                # radiance; alive lanes' radiance is identically zero
+                # (their throughput column is the real throughput). Dead
+                # lanes keep the radiance value in the throughput slot —
+                # finite and never read (the kernel masks dead lanes).
+                db = dead_bit.reshape(rows, TILE)
+                state.update(
+                    rr=jnp.where(db, state["tr"], 0.0),
+                    rg=jnp.where(db, state["tg"], 0.0),
+                    rb=jnp.where(db, state["tb"], 0.0))
+            perm = sorted_ops[n_core - 1]
             if regen is not None:
                 tm2, pix2, smp2 = regen(perm)
                 state.update(
@@ -1444,6 +1498,9 @@ def trace_megakernel(
                   state["rb"].reshape(B)]
         if want_counts:
             un_ops.append(state["bcc"].reshape(B))
+        n_un = len(un_ops)
+        for p in pending_ids:  # deferred later-phase id words (see above)
+            un_ops.extend(p["cols"])
         if sort_regions > 1:
             L = B // sort_regions
             un_ops = [x.reshape(sort_regions, L) for x in un_ops]
@@ -1454,6 +1511,16 @@ def trace_megakernel(
         rr, rg, rb = out[1], out[2], out[3]
         if want_counts:
             counts = out[4]
+        k0 = n_un
+        for p in pending_ids:
+            cols = out[k0:k0 + len(p["cols"])]
+            k0 += len(p["cols"])
+            if p["pack"]:
+                from ..diff.replay_kernel import _unpack_ids
+
+                ids_rows.append(_unpack_ids(list(cols), p["pd"]))
+            else:
+                ids_rows.append(jnp.stack(cols, axis=0))
         rr = rr + rad0[0].reshape(B)
         rg = rg + rad0[1].reshape(B)
         rb = rb + rad0[2].reshape(B)

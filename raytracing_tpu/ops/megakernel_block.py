@@ -215,6 +215,7 @@ def make_megakernel_block(mega, *, max_depth: int, background,
     has_noise = mega.has_noise
     has_image = mega.has_image
     atlas_lanes = mega.atlas_rep.shape[1]
+    atlas_packed = mega.atlas_rep.dtype == jnp.int32  # big-image tier
     bg_r, bg_g, bg_b = (float(background[0]), float(background[1]),
                         float(background[2]))
     U = fl
@@ -669,6 +670,40 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                     out = jnp.where(use, g, out)
             return out
 
+        def gather_atlas_packed(idx, valid, zero):
+            """Big-image tier: per-lane gather of the RGB-packed int32
+            word from the (S, 128) texels-on-sublanes atlas (flatten
+            atlas_table_packed). A while_loop walks ONLY the 8-row
+            (1024-texel) windows spanned by this tile's live indices —
+            coherent primary tiles touch 1-2 windows, image-free tiles
+            zero — via dynamic 8-aligned sublane loads, so the code size
+            is O(1) in atlas size (a full unroll of a 524k-texel atlas
+            would be ~20k Mosaic ops per fetch site and uncompilable).
+            ``valid`` masks the lanes whose index is meaningful; invalid
+            lanes return unspecified (finite) words."""
+            safe = jnp.where(valid, idx, 0)
+            sel = jnp.where(valid, idx, jnp.int32(2 ** 30))
+            lo = jnp.min(sel) >> 10          # first 1024-texel window
+            hiv = jnp.where(valid, idx, -1)
+            hi = jnp.max(hiv) >> 10          # last window (hi < lo: none)
+            row_g = safe >> 7                # global 128-texel row
+            lane_g = safe & 127
+            acc0 = zero.astype(jnp.int32)    # VMEM-initialized (layout
+                                             # gotcha: see module doc)
+
+            def body(carry):
+                cb, acc = carry
+                win = atlas_ref[pl.ds(cb * GROUPS, GROUPS), :]
+                for r in range(GROUPS):
+                    blk = jnp.broadcast_to(win[r:r + 1, :], (GROUPS, TILE))
+                    cand = jnp.take_along_axis(blk, lane_g, axis=1)
+                    acc = jnp.where(row_g == cb * GROUPS + r, cand, acc)
+                return cb + 1, acc
+
+            _, out = jax.lax.while_loop(
+                lambda c: c[0] <= hi, body, (lo, acc0))
+            return out
+
         def bounce_body(carry):
             (b, ox, oy, oz, dx, dy, dz, thr_r, thr_g, thr_b,
              rad_r, rad_g, rad_b, active_f, bounces) = carry
@@ -852,10 +887,21 @@ def make_megakernel_block(mega, *, max_depth: int, background,
                 tj = jnp.clip((vv_c * h_img).astype(jnp.int32), 0,
                               jnp.maximum(h_i - 1, 0))
                 flat = base_i + tj * w_i + ti
-                tex_r = gather_atlas(0, flat)
-                tex_g = gather_atlas(8, flat)
-                tex_b = gather_atlas(16, flat)
                 use_i = at(U.U_TKIND) == fl.TK_IMAGE
+                if atlas_packed:
+                    word = gather_atlas_packed(
+                        flat, active & hit & use_i, zero)
+                    # channel = f32(u8) / 255.0 — identical rounding to
+                    # the loader's u8→f32 conversion, so this tier is
+                    # bit-exact vs the replicated tier / XLA path
+                    inv = jnp.float32(255.0)
+                    tex_r = ((word >> 16) & 255).astype(jnp.float32) / inv
+                    tex_g = ((word >> 8) & 255).astype(jnp.float32) / inv
+                    tex_b = (word & 255).astype(jnp.float32) / inv
+                else:
+                    tex_r = gather_atlas(0, flat)
+                    tex_g = gather_atlas(8, flat)
+                    tex_b = gather_atlas(16, flat)
                 ar = jnp.where(use_i, tex_r, ar)
                 ag = jnp.where(use_i, tex_g, ag)
                 ab = jnp.where(use_i, tex_b, ab)

@@ -315,9 +315,10 @@ class Renderer:
                 if not mega.supported:
                     raise ValueError(
                         "scene exceeds the megakernel's texture budget "
-                        "(image atlas larger than MAX_KERNEL_TEXELS, or "
-                        "bilinear filtering requested); use "
-                        "hit_method='brute'/'bvh'"
+                        "(image atlas larger than MAX_PACKED_TEXELS, a "
+                        "non-u8-representable float atlas above "
+                        "MAX_KERNEL_TEXELS, or bilinear filtering "
+                        "requested); use hit_method='brute'/'bvh'"
                     )
             if mega is None:
                 hit_fn = _pick_hit_fn(scene, method)

@@ -120,10 +120,10 @@ def generate_earthlike(height: int = 90, width: int = 180, seed: int = 7) -> np.
     Used as a stand-in for the reference's ``images/earthmap.jpg`` asset
     (which we do not copy); drop a real ``earthmap.jpg`` into ``images/`` or
     point ``$RTW_IMAGES`` at one to reproduce the reference scene exactly.
-    The default size stays within the megakernel's in-VMEM atlas budget
-    (scene/flatten.py MAX_KERNEL_TEXELS) so the earth scene runs the TPU
-    fast path; a real full-resolution asset falls back to the XLA
-    integrator to preserve exact reference parity.
+    Any size up to flatten.MAX_PACKED_TEXELS (2M texels — 4x the
+    reference's own 1024×512 earthmap) runs the TPU megakernel fast path:
+    small images use the channel-replicated VMEM atlas, larger ones the
+    round-5 u8-packed tier.
     """
     rng = np.random.default_rng(seed)
     # Low-frequency value-noise continents on the sphere via random spherical
@@ -152,4 +152,8 @@ def generate_earthlike(height: int = 90, width: int = 180, seed: int = 7) -> np.
     img = np.where((land & (depth < 0.02))[..., None], shore, img)
     polar = (v < 0.22) | (v > np.pi - 0.22)
     img = np.where(polar[..., None], ice, img)
-    return img.astype(np.float32)
+    # u8 round-trip like every reference image (rtw_stb_image.hpp:154-169
+    # converts to bytes unconditionally); also makes any size eligible
+    # for the packed big-image kernel tier (flatten.atlas_table_packed).
+    u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+    return u8.astype(np.float32) / np.float32(255.0)

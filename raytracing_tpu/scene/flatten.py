@@ -51,11 +51,22 @@ TK_NOISE = 2.0   # marble (texture.hpp:127-156); TSCALE = noise scale
 TK_IMAGE = 3.0   # image texture (texture.hpp:91-122); A2R/A2G/A2B carry
                  # (atlas base texel, width, height) — see atlas_table()
 
-# Largest image (H·W texels) the kernel will fetch in-VMEM. The per-lane
-# gather scans the packed atlas in 128-lane chunks, so cost grows linearly
+# Largest image (H·W texels) the kernel fetches from the channel-
+# replicated f32 atlas (24 sublane-replicated rows in VMEM). The per-lane
+# gather scans the atlas in 128-lane chunks, so cost grows linearly
 # with this; 16384 texels (e.g. 128×128) ≈ 128 chunk-selects per fetch.
-# Bigger images fall back to the XLA integrator path (supported=False).
 MAX_KERNEL_TEXELS = 16384
+
+# Bigger images use the round-5 PACKED tier: one (1, T) int32 row holding
+# R<<16|G<<8|B per texel (the u8 values the reference's rtw_image pipeline
+# produces — rtw_stb_image.hpp:154-169), broadcast to (8, 128) chunk by
+# chunk at fetch time. 1/24th the VMEM of the replicated tier (a 1024×512
+# reference-scale earthmap is 2.1 MB) and one scan instead of three.
+# Requires texels to be exactly u8/255 (true for every file-loaded image —
+# the loader round-trips u8 for reference parity; raw float arrays that
+# aren't representable fall back to the XLA path). Above this cap (8 MB
+# VMEM) scenes fall back to the XLA integrator (supported=False).
+MAX_PACKED_TEXELS = 1 << 21
 
 # ---------------------------------------------------------------------------
 # Unified primitive table (megakernel v2): one (U_FIELDS, Np+Mq) table whose
@@ -344,6 +355,44 @@ def atlas_table(scene: Scene, max_texels: int = MAX_KERNEL_TEXELS):
     return tab, bases, True
 
 
+def atlas_table_packed(scene: Scene, max_texels: int = MAX_PACKED_TEXELS):
+    """(S_pad8, 128) int32 RGB-packed atlas (big-image kernel tier; see
+    MAX_PACKED_TEXELS): texel ``t`` lives at ``[t >> 7, t & 127]`` with
+    word = r8 << 16 | g8 << 8 | b8. The kernel reconstructs each channel
+    as f32(u8) / 255.0 — bit-identical to the stored f32 texel because
+    the loader computes texels the same way (u8 round-trip per
+    rtw_stb_image.hpp:154-169 parity). Texels-on-SUBLANES lets the
+    kernel's range-bounded scan fetch 8-row windows with dynamic
+    8-aligned sublane loads (the only dynamic indexing Mosaic allows)
+    instead of unrolling the whole atlas into the instruction stream.
+
+    Returns (table int32, per-image base offsets, ok); ok is False when
+    the atlas exceeds ``max_texels`` or any texel is not exactly
+    u8/255-representable (e.g. a raw float array fed to builder.image)."""
+    sizes = np.asarray(scene.atlas.sizes)
+    texels = np.asarray(scene.atlas.texels, np.float32)
+    total = int((np.maximum(sizes[:, 0], 0) * np.maximum(sizes[:, 1], 0)).sum())
+    if total > max_texels:
+        return None, None, False
+    u8 = np.clip(np.rint(texels * 255.0), 0, 255).astype(np.int64)
+    if not np.array_equal(u8.astype(np.float32) / np.float32(255.0), texels):
+        return None, None, False
+    packed = (u8[..., 0] << 16) | (u8[..., 1] << 8) | u8[..., 2]
+    # rows of 128 texels, padded to a multiple of 8 rows (1024 texels) so
+    # every 8-row window load is in bounds
+    s_pad = max(8, -(-max(total, 1) // 1024) * 8)
+    flat = np.zeros((s_pad * 128,), np.int32)
+    bases = []
+    off = 0
+    for k in range(len(sizes)):
+        h, w = int(sizes[k, 0]), int(sizes[k, 1])
+        bases.append(off)
+        if h > 0 and w > 0:
+            flat[off:off + h * w] = packed[k, :h, :w].reshape(h * w)
+            off += h * w
+    return flat.reshape(s_pad, 128), bases, True
+
+
 def perlin_tables(scene: Scene):
     """Pack the Perlin tables (scene/perlin.py make_tables) for in-kernel
     lane gathers: ``perm_tab (8, 256)`` rows 0..2 = perm_x/y/z (integers,
@@ -439,6 +488,10 @@ def flatten_scene(scene: Scene, lane_pad: int = 128) -> FlatScene:
     atlas_bases = None
     if scene.flags.has_image and not scene.flags.image_bilinear:
         _, atlas_bases, atlas_ok = atlas_table(scene)
+        if not atlas_ok:
+            # replicated-f32 tier too small: try the packed-u8 tier
+            # (the base offsets are laid out identically)
+            _, atlas_bases, atlas_ok = atlas_table_packed(scene)
         if not atlas_ok:
             atlas_bases = None
 

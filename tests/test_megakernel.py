@@ -384,16 +384,63 @@ class TestInKernelBVH:
             scene, _ = build(name, image_width=16, samples_per_pixel=1)
             assert build_mega_scene(scene).supported, name
 
+    def _earth_like_scene(self, h, w, quantize=True):
+        from raytracing_tpu.scene import assets
+        from raytracing_tpu.scene.builder import SceneBuilder
+        from raytracing_tpu.render.camera import CameraConfig
+
+        img = assets.generate_earthlike(h, w)
+        if not quantize:
+            img = img + np.float32(1e-4)  # not u8/255-representable
+        b = SceneBuilder()
+        b.sphere((0.0, 0.0, 0.0), 2.0, b.lambertian(b.image(img)))
+        cfg = CameraConfig(aspect_ratio=16 / 9, image_width=32,
+                           samples_per_pixel=1, max_depth=3,
+                           background=(0.7, 0.8, 1.0), vfov=20,
+                           lookfrom=(0, 0, 12), lookat=(0, 0, 0))
+        return b.compile(), cfg
+
+    def test_packed_atlas_tier_bit_exact(self):
+        """Images past MAX_KERNEL_TEXELS now run the u8-PACKED kernel
+        tier ((1, T) int32 atlas, round 5) instead of falling back to
+        the XLA integrator — bit-exact vs the XLA gather since the
+        in-kernel u8→f32 reconstruction matches the loader's."""
+        from raytracing_tpu.scene import flatten as fl
+
+        scene, cfg = self._earth_like_scene(144, 160)  # 23040 > 16384
+        mega = build_mega_scene(scene)
+        assert mega.supported
+        assert mega.atlas_rep.dtype == jnp.int32  # packed tier chosen
+        params = CameraParams.from_config(cfg)
+        derived = cam_mod.derive(cfg, params)
+        B = -(-cfg.n_pixels // BLOCK) * BLOCK
+        pix = jnp.minimum(jnp.arange(B, dtype=jnp.int32), cfg.n_pixels - 1)
+        smp = jnp.zeros(B, jnp.int32)
+        o, d, t = cam_mod.generate_rays(cfg, derived, pix, smp,
+                                        jnp.uint32(3), motion_blur=False)
+        rad_ref, s_ref = trace(
+            scene, o, d, t, pix, smp, jnp.asarray(cfg.background), 3,
+            jnp.uint32(3), hit_fn=closest_hit_brute)
+        rad_mk, s_mk = trace_megakernel(
+            mega, o, d, t, pix, smp, cfg.background, 3, jnp.uint32(3),
+            interpret=True)
+        diff = np.abs(np.asarray(rad_ref) - np.asarray(rad_mk))
+        assert diff.max() < 1e-5, diff.max()
+        assert int(s_ref) == int(s_mk)
+
     def test_oversized_image_falls_back(self):
-        """Images beyond the in-VMEM atlas budget keep the XLA path (and a
-        real full-res earthmap.jpg keeps exact reference parity there)."""
+        """Atlases past MAX_PACKED_TEXELS — or float atlases past
+        MAX_KERNEL_TEXELS that aren't u8/255-representable — keep the
+        XLA path (a non-u8 atlas can't use the packed tier losslessly)."""
         from raytracing_tpu.scene.builder import SceneBuilder
 
         b = SceneBuilder()
-        big = np.zeros((256, 512, 3), np.float32)  # 131072 texels > cap
+        big = np.zeros((1200, 2048, 3), np.float32)  # 2.46M > 2^21
         b.sphere((0, 0, 0), 2.0, b.lambertian(b.image(big)))
-        mega = build_mega_scene(b.compile())
-        assert not mega.supported
+        assert not build_mega_scene(b.compile()).supported
+
+        scene, _ = self._earth_like_scene(256, 512, quantize=False)
+        assert not build_mega_scene(scene).supported
 
     def test_renderer_integration(self):
         from raytracing_tpu.render.renderer import render
