@@ -390,7 +390,14 @@ class Renderer:
                 mean = accum[: cfg.n_pixels] / cfg.samples_per_pixel
                 img = to_u8_image(mean.reshape(
                     cfg.image_height, cfg.image_width, 3))
-                return (accum, segs, img) + tail
+                # one D2H transfer: append the per-launch segment counts
+                # (i32, bitcast to bytes) to the image bytes — a second
+                # np.asarray round-trip on the tunneled link costs
+                # multiple ms of pure latency
+                seg_bytes = jax.lax.bitcast_convert_type(
+                    segs, jnp.uint8).reshape(-1)
+                blob = jnp.concatenate([img.reshape(-1), seg_bytes])
+                return (accum, blob) + tail
             return (accum, segs) + tail
 
         self._fused = jax.jit(render_all)
@@ -548,12 +555,16 @@ class Renderer:
             with_ok = self.phase_prefixes is not None
             t0 = _time.perf_counter()
             if self.transfer == "u8":
-                # the f32 accumulator stays on device; only the u8 image
-                # (and the tiny segment vector) cross the ~25-50 MB/s link
+                # the f32 accumulator stays on device; only one u8 blob
+                # (image bytes + bitcast per-launch segment counts)
+                # crosses the ~25-50 MB/s link
                 out = compiled(scene, params, accum, seed_arr)
-                _accum, segs_vec, img = out[0], out[1], out[2]
-                img_h = np.asarray(img)
-                segs_h = np.asarray(segs_vec, np.int64)
+                _accum, blob = out[0], out[1]
+                blob_h = np.asarray(blob)
+                n_img = cfg.n_pixels * 3
+                img_h = blob_h[:n_img].reshape(
+                    cfg.image_height, cfg.image_width, 3)
+                segs_h = blob_h[n_img:].view(np.int32).astype(np.int64)
                 seconds = _time.perf_counter() - t0
                 return self._checked(RenderResult(
                     radiance=None,
@@ -561,7 +572,7 @@ class Renderer:
                     seconds=seconds,
                     launches=total,
                     u8=img_h,
-                    ok=bool(out[3]) if with_ok else None,
+                    ok=bool(out[2]) if with_ok else None,
                 ))
             out = compiled(scene, params, accum, seed_arr)
             accum, segs_vec = out[0], out[1]
