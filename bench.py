@@ -76,7 +76,8 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
     return best
 
 
-def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
+def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
+                   phases="default"):
     """Build the fwd+bwd chunk machinery (shared by bench_fwd_bwd and
     tools/fbprof6.py). Returns a dict with ``grads_chunk``, ``plan`` (the
     untimed planning sweep that installs the per-bounce prefix plan into
@@ -115,7 +116,8 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
     params0 = CameraParams.from_config(cfg)
     derived = cam_mod.derive(cfg, params0)
     # same shrinking-phase compaction schedule as the renderer's fast path
-    phases = [2, 3, max_depth - 5] if max_depth >= 8 else None
+    if phases == "default":
+        phases = [2, 3, max_depth - 5] if max_depth >= 8 else None
     n_chunks = spp // spp_chunk
 
     def make_rays(sample0):
@@ -246,7 +248,7 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4):
 
 
 def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
-                  fused=True):
+                  fused=True, phases="default"):
     """Forward+backward throughput on the BASELINE final-scene workload
     (400×225 @ 100 spp, depth 20): per-chunk MSE loss value + grads
     w.r.t. scene params (sphere centers + albedos), sample-chunked.
@@ -277,7 +279,7 @@ def bench_fwd_bwd(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
     import numpy as np
 
     s = _fwd_bwd_setup(width=width, spp=spp, max_depth=max_depth,
-                       seed=seed, spp_chunk=spp_chunk)
+                       seed=seed, spp_chunk=spp_chunk, phases=phases)
     grads_chunk, args = s["grads_chunk"], s["args"]
     n_chunks, spc = s["n_chunks"], s["spp_chunk"]
     s["plan"](fused=fused)
