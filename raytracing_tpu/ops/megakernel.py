@@ -1433,6 +1433,21 @@ def trace_megakernel(
             n_core = len(ops)
             for p in pending_ids:  # deferred id words follow the lanes
                 ops.extend(p["cols"])
+            # prefix-sliced boundary sort (round 5): with a valid phase
+            # prefix, every ray past it is dead AND position-stable (it
+            # entered this phase dead and nothing moves it), so only the
+            # prefix region needs sorting — the tail columns are reused
+            # untouched. The dead ordering inside/outside the slice
+            # differs from the full sort, but per-ray values and the
+            # final unpermute (keyed on the original index) are
+            # identical, so radiance/ids/counts are bit-equal.
+            cut = None
+            if (phase_prefixes is not None and sort_regions == 1
+                    and pref is not None):
+                cut = pref
+            if cut is not None:
+                tails = [x[cut:] for x in ops]
+                ops = [x[:cut] for x in ops]
             if sort_regions > 1:
                 # regional compaction: R independent sorts of contiguous
                 # B/R-lane regions (sorted along the minor axis, batched
@@ -1451,6 +1466,9 @@ def trace_megakernel(
                 sorted_ops = [x.reshape(B) for x in sorted_ops]
             else:
                 sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=stable)
+            if cut is not None:
+                sorted_ops = [jnp.concatenate([v, t])
+                              for v, t in zip(sorted_ops, tails)]
             for k, v in zip(names, sorted_ops[1:1 + len(names)]):
                 state[k] = v.reshape(rows, TILE)
             k0 = n_core

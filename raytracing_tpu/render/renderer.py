@@ -77,6 +77,8 @@ def _render_chunk(
     ray_order: str = "sample",  # lane layout: "sample" | "pixel" (see below)
     sort_regions: int = 1,      # regional compaction sorts (megakernel)
     phase_prefixes=None,        # megakernel static live-prefix tail phases
+    want_counts: bool = False,  # also return per-ray bounce counts (mega
+                                # path only) — the prefix-planning hook
 ):
     """One launch: n_block contiguous pixels × spp_chunk samples.
     Returns (block radiance *sum* over the chunk's samples (n_block, 3),
@@ -133,6 +135,18 @@ def _render_chunk(
                            sample_start, seed, scene.flags.has_moving,
                            ray_order)
 
+        if want_counts:
+            # planning hook: per-ray exact bounce counts for this launch
+            # (same ray stream as the real render) — callers derive the
+            # per-phase live prefixes from them (bench.py forward plan)
+            assert phase_prefixes is None
+            _, _, cnt = trace_megakernel(
+                mega, o, d, t, pixel_ids, sample_ids, cfg.background,
+                cfg.max_depth, seed, phase_depths=phases, active0=valid0,
+                sort_mode=sort_mode, use_clusters=use_clusters,
+                regen=regen, sort_regions=sort_regions, want_counts=True,
+            )
+            return cnt
         if phase_prefixes is not None:
             # static live-prefix tail phases (ops/megakernel.py): exact
             # iff every prefix covers its phase's live set — the ok flag
@@ -322,8 +336,7 @@ class Renderer:
                     )
             if mega is None:
                 hit_fn = _pick_hit_fn(scene, method)
-            fn = partial(
-                _render_chunk,
+            self._chunk_kwargs = dict(
                 cfg=self.cfg,
                 n_block=self.n_block,
                 spp_chunk=self.spp_chunk,
@@ -336,11 +349,65 @@ class Renderer:
                 use_clusters=self.use_clusters,
                 ray_order=self.ray_order,
                 sort_regions=self.sort_regions,
-                phase_prefixes=self.phase_prefixes,
             )
+            fn = partial(_render_chunk, **self._chunk_kwargs,
+                         phase_prefixes=self.phase_prefixes)
             self._chunk_fn = fn
             self._compiled = jax.jit(fn)
         return self._compiled
+
+    def plan_phase_prefixes(self, scene: Scene, seed: int = 0,
+                            margin_blocks: int = 1):
+        """Untimed planning pass: run the exact per-launch ray streams
+        through a counts-only trace and return the per-PHASE live-prefix
+        tuple for ``Renderer(..., phase_prefixes=...)`` on the SAME
+        (scene, cfg, batching, seed). One jitted fori_loop over every
+        launch; exact by construction (the timed render replays the same
+        streams), with ``margin_blocks`` extra 1024-ray blocks of slack.
+        Requires the megakernel path."""
+        self._get_compiled(scene)
+        mega = self._chunk_kwargs.get("mega")
+        if mega is None:
+            raise ValueError("prefix planning needs the megakernel path")
+        cfg = self.cfg
+        phases = self.phase_depths
+        if phases is None and cfg.max_depth > 6:
+            phases = [2, 3, cfg.max_depth - 5]
+        if phases is None or len(phases) < 2:
+            return None
+        kw = dict(self._chunk_kwargs)
+        kw["want_counts"] = True
+        cfn = partial(_render_chunk, **kw)
+        n_blocks = -(-cfg.n_pixels // self.n_block)
+        n_schunks = -(-cfg.samples_per_pixel // self.spp_chunk)
+        d = cfg.max_depth
+
+        def sweep(scene, params, seed_arr):
+            def body(i, nb_max):
+                b = i % n_blocks
+                s = i // n_blocks
+                cnt = cfn(scene, params, b * self.n_block,
+                          s * self.spp_chunk, seed_arr)
+                hist = jnp.bincount(jnp.clip(cnt, 0, d), length=d + 1)
+                return jnp.maximum(nb_max, jnp.cumsum(hist[::-1])[::-1])
+
+            return jax.lax.fori_loop(
+                0, n_blocks * n_schunks, body,
+                jnp.zeros((d + 1,), jnp.int32))
+
+        params = CameraParams.from_config(cfg)
+        nb_max = np.asarray(jax.jit(sweep)(scene, params, jnp.uint32(seed)))
+        B = self.n_block * self.spp_chunk
+        starts = [0]
+        for pdep in phases[:-1]:
+            starts.append(starts[-1] + pdep)
+        step = 1024
+        out = [None]
+        for s in starts[1:]:
+            live = int(nb_max[min(s + 1, d)])
+            out.append(max(step, min(
+                B, (-(-live // step) + margin_blocks) * step)))
+        return tuple(out)
 
     def _get_fused(self, scene: Scene, n_blocks: int, start_schunk: int,
                    total: int):
