@@ -59,6 +59,15 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
                 # ~20-40 ms on this workload)
                 transfer="u8",
             )
+            if method == "mega" and max_depth >= 12:
+                # finer shrinking schedule (round-5): with prefix-SLICED
+                # boundary sorts, extra boundaries are nearly free and
+                # each one re-compacts the wavefront — measured 88.8M
+                # rays/s at [2,2,3,4,9] vs 79.2M at the classic
+                # [2,3,15] (v5e, final scene); without prefixes more
+                # boundaries LOSE (full-B sorts), so this schedule is
+                # only used with the prefix plan below
+                kw["phase_depths"] = [2, 2, 3, 4, max_depth - 11]
             r = Renderer(cfg, **kw)
             if method == "mega":
                 # round-5: phase prefixes slice the tail-phase kernels AND
@@ -73,6 +82,10 @@ def bench_forward(width=400, spp=100, max_depth=20, seed=7, methods=("mega",)):
                 except Exception as e:
                     print(f"bench[{method}] prefix plan skipped: {e}",
                           file=sys.stderr)
+                    # the fine schedule only wins WITH prefixes; fall
+                    # back to the classic coarse one without them
+                    kw.pop("phase_depths", None)
+                    r = Renderer(cfg, **kw)
             # Warm-up + compile happens inside; `seconds` excludes compile.
             # Best of 3 runs: the tunneled device→host link adds noisy
             # multi-ms latency per transfer, so a single timed run can
