@@ -3,10 +3,17 @@
 The phased renderer (renderer.py + ops/megakernel.py trace_megakernel)
 launches fixed (pixel-block × sample-chunk) batches; within a launch,
 lane occupancy decays as paths terminate (final scene: mean path length
-~2.7 of depth 20), and compaction can only pack the survivors — the
-launch still pays straggler phases at partial occupancy. Measured
-end-to-end slot efficiency ≈ 45% (18.2 ns/segment vs the 8.35 ns/slot
-full-occupancy floor, v5e).
+~2.7 of depth 20), and compaction can only pack the survivors.
+
+Round-5 verdict (device traces, tools/pooltrace.py): the pool's kernel
+time IS ~2x better than the phased path's (113 vs 209 ms on the bench
+workload — the occupancy thesis holds), but per-iteration boundary
+sorts, the 10M-row final gid fold sort, and the log-carry turnaround
+give the win back: pool ≈ 62-64M rays/s vs phased 64-89M (with the
+round-5 prefix-sliced sorts). The pool remains the better schedule only
+when phases can't be planned (unknown live distributions); the phased
+path with phase_prefixes is production. Numbers: CLAUDE.md round-5
+results; A/B harness: tools/poolbench.py.
 
 This module replaces the batch structure with one persistent ray pool
 (classic wavefront path-tracer regeneration, re-designed around what a
