@@ -507,3 +507,21 @@ class TestInKernelBVH:
         assert u8.radiance is None and u8.u8 is not None
         assert u8.segments == f32.segments
         np.testing.assert_array_equal(u8.image_u8, f32.image_u8)
+
+
+class TestTransferModes:
+    def test_fused_u8_blob_matches_f32(self):
+        """transfer='u8' (single blob: image bytes + bitcast per-launch
+        segment counts) must reproduce the f32 path's image and exact
+        segment count through the fused renderer."""
+        from raytracing_tpu.render.renderer import Renderer
+
+        scene, cfg = build("three_spheres", image_width=48,
+                           samples_per_pixel=4, max_depth=5)
+        kw = dict(hit_method="mega", mode="while",
+                  max_rays_per_launch=2048)  # multiple launches
+        rf = Renderer(cfg, **kw).render(scene, seed=3)
+        ru = Renderer(cfg, **kw, transfer="u8").render(scene, seed=3)
+        assert ru.segments == rf.segments and rf.launches == ru.launches
+        assert ru.launches > 1
+        np.testing.assert_array_equal(ru.image_u8, rf.image_u8)

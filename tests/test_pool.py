@@ -115,3 +115,16 @@ class TestPool:
         assert res.segments == base.segments
         np.testing.assert_allclose(res.radiance, base.radiance,
                                    rtol=3e-6, atol=3e-6)
+
+    def test_pool_u8_transfer_matches(self):
+        """Pool transfer='u8' (single-window device quantize) produces
+        the same u8 image and segment count as the f32 pool path."""
+        scene, cfg = build("three_spheres", image_width=16,
+                           samples_per_pixel=2, max_depth=4)
+        rf = Renderer(cfg, schedule="pool", pool_size=1024).render(
+            scene, seed=3)
+        ru = Renderer(cfg, schedule="pool", pool_size=1024,
+                      transfer="u8").render(scene, seed=3)
+        assert ru.radiance is None and ru.u8 is not None
+        assert ru.segments == rf.segments
+        np.testing.assert_array_equal(ru.image_u8, rf.image_u8)
