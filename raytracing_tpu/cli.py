@@ -41,6 +41,15 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="opt-in megakernel sphere-sweep cluster culling")
     p.add_argument("--sort-regions", type=int, default=1,
                    help="compaction sorts over N independent regions")
+    p.add_argument("--schedule", default="phased",
+                   choices=["phased", "pool"],
+                   help="phased launches (default) or the regenerating "
+                        "persistent-wavefront pool (render/pool.py)")
+    p.add_argument("--auto-prefix", action="store_true",
+                   help="plan per-phase live prefixes with an untimed "
+                        "counts pass, then render with prefix-sliced "
+                        "compaction (exactness checked; measured +40%% "
+                        "throughput on the final scene, round 5)")
 
 
 def cmd_render(args) -> int:
@@ -80,10 +89,26 @@ def cmd_render(args) -> int:
             phases = ([int(x) for x in args.phases.split(",")]
                       if args.phases else None)
             clusters = {"slab": True}.get(args.clusters, args.clusters)
-            r = Renderer(cfg, hit_method=args.hit, mode=args.mode,
-                         phase_depths=phases, ray_order=args.ray_order,
-                         spp_chunk=args.spp_chunk, use_clusters=clusters,
-                         sort_regions=args.sort_regions)
+            rkw = dict(hit_method=args.hit, mode=args.mode,
+                       phase_depths=phases, ray_order=args.ray_order,
+                       spp_chunk=args.spp_chunk, use_clusters=clusters,
+                       sort_regions=args.sort_regions,
+                       schedule=args.schedule)
+            if args.auto_prefix and cfg.max_depth >= 12 and phases is None:
+                # finer schedule wins WITH sliced prefixes (CLAUDE.md
+                # round-5 schedule sweep)
+                rkw["phase_depths"] = [2, 2, 3, 4, cfg.max_depth - 11]
+            r = Renderer(cfg, **rkw)
+            if args.auto_prefix and args.schedule == "phased":
+                try:
+                    pref = r.plan_phase_prefixes(scene, seed=args.seed)
+                    if pref is not None:
+                        r = Renderer(cfg, **rkw, phase_prefixes=pref)
+                except Exception as e:
+                    print(f"auto-prefix unavailable ({e}); "
+                          "rendering unprefixed")
+                    rkw["phase_depths"] = phases
+                    r = Renderer(cfg, **rkw)
             resume = ckpt.load_render_state(args.checkpoint) if args.checkpoint else None
             cb = (lambda st: ckpt.save_render_state(args.checkpoint, st)) if args.checkpoint else None
             res = r.render(scene, seed=args.seed, progress=True,
