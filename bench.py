@@ -560,9 +560,13 @@ def main():
                          "when fewer real chips are attached)")
     args = ap.parse_args()
     if args.devices is not None:
-        import jax
-
-        if jax.device_count() < args.devices:
+        # Use real attached chips only on explicit request
+        # (RT_SCALING_TPU=1): probing jax.device_count() here would
+        # initialize the tunneled backend, which HANGS indefinitely
+        # during the (not rare) remote-service outages — and the common
+        # case is the virtual-CPU mechanism smoke anyway.
+        use_tpu = os.environ.get("RT_SCALING_TPU") == "1"
+        if not use_tpu:
             # relaunch on the virtual-CPU backend (the axon platform pin
             # cannot be overridden via env; jax.config can override it,
             # but XLA_FLAGS must be set before backend init → subprocess)
