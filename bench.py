@@ -142,8 +142,17 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
     params0 = CameraParams.from_config(cfg)
     derived = cam_mod.derive(cfg, params0)
     # same shrinking-phase compaction schedule as the renderer's fast path
+    # (round-5: the fine prefixed schedule wins for the decide pass too —
+    # 56.6M vs 53.7M rays/s fwd+bwd unfused at [2,2,3,4,9] vs [2,3,15],
+    # v5e final scene; the decide_prefixes plan below slices every tail
+    # phase's kernels and boundary sorts to the live set)
     if phases == "default":
-        phases = [2, 3, max_depth - 5] if max_depth >= 8 else None
+        if max_depth >= 12:
+            phases = [2, 2, 3, 4, max_depth - 11]
+        elif max_depth >= 8:
+            phases = [2, 3, max_depth - 5]
+        else:
+            phases = None
     n_chunks = spp // spp_chunk
 
     def make_rays(sample0):
@@ -163,20 +172,28 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
 
     def decide(sample0):
         o, d, t, smp = make_rays(sample0)
+        # want_ids="compacted": the later-phase id words skip the final
+        # unpermute and go straight to the replay's length sort
+        # (replay_grads_sorted compacted= path) — round-5 sort diet
         out = trace_megakernel(
             mega, o, d, t, pix, smp, cfg.background, max_depth,
             jnp.uint32(seed), phase_depths=phases, active0=act0,
-            want_ids=True, want_counts=True, interpret=interpret,
+            want_ids="compacted", want_counts=True, interpret=interpret,
             phase_prefixes=ns["decide_prefixes"],
             regen=make_regen(n_pix, npix_pad, spp_chunk, jnp.int32(0),
                              sample0, jnp.uint32(seed),
                              scene.flags.has_moving),
         )
         if ns["decide_prefixes"] is not None:
-            rad, _, ids, cnt, ok = out
+            rad, _, ids0, later, perm, cnt, cnt_c, ok = out
         else:
-            (rad, _, ids, cnt), ok = out, jnp.bool_(True)
-        return rad, ids, cnt, ok
+            (rad, _, ids0, later, perm, cnt, cnt_c) = out
+            ok = jnp.bool_(True)
+        bundle = dict(ids0=ids0, later=later, perm=perm, counts_c=cnt_c,
+                      phase_depths=(tuple(phases) if phases is not None
+                                    else (max_depth,)),
+                      pack=mega.n_prims <= 1023)
+        return rad, bundle, cnt, ok
 
     import numpy as np
 
@@ -197,7 +214,7 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
             0, n_chunks, body, jnp.zeros((max_depth + 1,), jnp.int32))
 
     def grads_chunk(center, rgb, sample0):
-        rad_pre, ids, cnt, ok_d = decide(sample0)
+        rad_pre, bundle, cnt, ok_d = decide(sample0)
         img = (rad_pre * act0[:, None]).reshape(spp_chunk, npix_pad, 3)
         img = img.mean(axis=0)[:n_pix].reshape(
             cfg.image_height, cfg.image_width, 3
@@ -230,9 +247,10 @@ def _fwd_bwd_setup(width=400, spp=100, max_depth=20, seed=7, spp_chunk=4,
                 textures=scene.textures.replace(rgb=r))),
             center, rgb)
         tbar, ok = replay_grads_sorted(
-            scene, table, ids, o, d, t, pix, smp, cfg.background,
+            scene, table, None, o, d, t, pix, smp, cfg.background,
             max_depth, jnp.uint32(seed), rad_bar, cnt,
-            prefixes=ns["prefixes"], ray_regen=ray_regen)
+            prefixes=ns["prefixes"], ray_regen=ray_regen,
+            compacted=bundle)
         gc, gr = tab_vjp(tbar)
         return loss, gc, gr, ok & ok_d, jnp.sum(cnt)
 

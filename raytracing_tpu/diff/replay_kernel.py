@@ -47,6 +47,12 @@ from ..scene.types import MAT_DIELECTRIC, MAT_DIFFUSE_LIGHT, MAT_METAL
 from . import replay_fast as rf
 
 TILE = 128
+# one-hot table-gradient reduction matmul precision: HIGH (3-pass bf16)
+# reconstructs f32 products to ~2^-21 relative — far inside the grad
+# tests' 1e-5 tolerances — while HIGHEST (6-pass) ran the bounce-0 dot
+# at only 8.4 TFLOP/s (device trace, round 5); the one-hot operand is
+# exactly representable in bf16 so only the cotangent side is split
+_OH_PRECISION = jax.lax.Precision.HIGH
 # ray rows per grid step: 8 keeps take_along_axis on the (8, 128) tile
 # shape Mosaic gathers fastest (16-sublane gathers measured ~5x slower)
 ROWS = 8
@@ -915,7 +921,7 @@ def replay_trace_kernel(
             oh = (idb[:, None] == arangeL[None, :]).astype(jnp.float32)
             acc = acc + jax.lax.dot_general(
                 oh, gm, dimension_numbers=(((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_OH_PRECISION)
         cols = [jnp.zeros((L,), jnp.float32)] * F
         for tc, gs in _TABLE_GRAD_COLS:
             cols[tc] = acc[:, gs]
@@ -1005,6 +1011,7 @@ def replay_grads_sorted(
     prefixes=None,           # optional plan from plan_prefixes
     interpret: bool | None = None,
     ray_regen=None,          # optional orig_idx -> (o, d, t, pix, smp)
+    compacted=None,          # optional decide-pass compacted-id bundle
 ):
     """Scene-parameter gradient pass over recorded decisions, with the
     rays sorted by recorded path length.
@@ -1033,6 +1040,20 @@ def replay_grads_sorted(
       static prefix (plan_prefixes). Exact, not approximate — the
       returned ``ok`` is False iff a prefix was exceeded (then a
       contribution was dropped and the caller must replan).
+
+    ``compacted`` (round-5 sort diet, requires ``ray_regen``): a dict
+    bundling trace_megakernel's ``want_ids="compacted"`` extras —
+    ``ids0`` (pd0, B) camera-order phase-1 ids, ``later`` (W, B)
+    later-phase packed id words in compacted order, ``perm`` (B,)
+    camera index per compacted lane, ``counts_c`` (B,) compacted-order
+    lengths, plus static ``phase_depths`` and ``pack``. The later-phase
+    words then move compacted→length-order in one sort (the camera-order
+    unpermute detour is skipped entirely) while the cotangent + phase-1
+    words ride a second sort from camera order; both sorts share the
+    same unique key set so the columns align bit-exactly
+    (tests/test_replay_kernel.py asserts bit-equality with the unified
+    path). ``ids`` is ignored (pass None). Measured: 57.6 → 59.5M
+    rays/s fwd+bwd on the v5e bench workload.
 
     Returns ``(tbar, ok)``: the packed-table cotangent (L, N_FIELDS) —
     feed it to ``jax.vjp(build_replay_table ∘ params)`` — and the plan
@@ -1075,7 +1096,61 @@ def replay_grads_sorted(
     iota = jnp.arange(B, dtype=jnp.int32)
     key = (D - lengths) * B + iota
     pack = L <= 1023  # ids must fit 10 bits after the +1 bias
-    if ray_regen is not None:
+    if compacted is not None:
+        # Round-5 sort diet (requires ray_regen): the decide pass kept
+        # the later-phase id words in COMPACTED lane order
+        # (trace_megakernel want_ids="compacted"), so they skip the
+        # camera-order detour and move straight to length order here.
+        # Two sorts over the SAME unique key set — key encodes
+        # (D - length)·B + original index, computed from compacted-order
+        # counts+perm on one side and camera-order counts+iota on the
+        # other — produce bit-aligned columns: sort A carries the
+        # later-phase words from compacted order, sort B carries the
+        # cotangent + phase-1 words (phase 1 is recorded under the
+        # identity permutation) from camera order. Net at the bench
+        # shape: 5+8+5 full-B sort operands versus 12+11 for the
+        # unpermute + single length sort it replaces.
+        assert ray_regen is not None, "compacted ids require ray_regen"
+        pdep = tuple(compacted["phase_depths"])
+        assert sum(pdep) == D, (pdep, D)
+        pack_c = bool(compacted["pack"])
+        ids0 = compacted["ids0"]
+        pd0 = pdep[0]
+        assert ids0.shape[0] == pd0, (ids0.shape, pdep)
+        key_c = (D - sg(compacted["counts_c"]).astype(jnp.int32)) * B \
+            + compacted["perm"].astype(jnp.int32)
+        later = compacted["later"]
+        outA = jax.lax.sort(
+            [key_c] + [later[w] for w in range(later.shape[0])],
+            num_keys=1, is_stable=False)
+        key_s, later_s = outA[0], outA[1:]
+        ids0_cols = (_pack_ids(ids0, pd0) if pack_c
+                     else [ids0[b] for b in range(pd0)])
+        nw0 = len(ids0_cols)
+        outB = jax.lax.sort(
+            [key, rad_bar[:, 0], rad_bar[:, 1], rad_bar[:, 2]] + ids0_cols,
+            num_keys=1, is_stable=False)
+        rbr, rbg, rbb = outB[1:4]
+        rows_list = [(_unpack_ids(list(outB[4:4 + nw0]), pd0) if pack_c
+                      else jnp.stack(outB[4:4 + nw0], axis=0))]
+        w0 = 0
+        for pd_n in pdep[1:]:
+            nw = -(-pd_n // _IDS_PER_WORD) if pack_c else pd_n
+            grp = list(later_s[w0:w0 + nw])
+            w0 += nw
+            rows_list.append(_unpack_ids(grp, pd_n) if pack_c
+                             else jnp.stack(grp, axis=0))
+        assert w0 == len(later_s), (w0, len(later_s))
+        ids_s = jnp.concatenate(rows_list, axis=0)
+        len_s = D - key_s // B
+        orig = key_s % B
+        o_s, d_s, t_s, pix_s, smp_s = ray_regen(orig)
+        oxf, oyf, ozf = sg(o_s[:, 0]), sg(o_s[:, 1]), sg(o_s[:, 2])
+        dxf, dyf, dzf = sg(d_s[:, 0]), sg(d_s[:, 1]), sg(d_s[:, 2])
+        tmf = sg(t_s)
+        pix_s = pix_s.astype(jnp.int32)
+        smp_s = smp_s.astype(jnp.int32)
+    elif ray_regen is not None:
         # The unique key encodes BOTH the length (key // B) and the
         # original ray index (key % B), and camera rays are pure
         # functions of that index — so only key + rad_bar + packed ids
@@ -1106,8 +1181,9 @@ def replay_grads_sorted(
         out = jax.lax.sort(ops, num_keys=1, is_stable=False)
         (pix_s, smp_s, rbr, rbg, rbb, len_s,
          oxf, oyf, ozf, dxf, dyf, dzf, tmf) = out[1:n_fixed]
-    ids_s = (_unpack_ids(out[n_fixed:], D) if pack
-             else jnp.stack(out[n_fixed:], axis=0))  # (D, B) sorted order
+    if compacted is None:
+        ids_s = (_unpack_ids(out[n_fixed:], D) if pack
+                 else jnp.stack(out[n_fixed:], axis=0))  # (D, B) sorted
 
     def r2(x):
         return x.reshape(rows, TILE)
@@ -1148,7 +1224,7 @@ def replay_grads_sorted(
         oh = (idb[:, None] == arangeL[None, :]).astype(jnp.float32)
         acc = acc + jax.lax.dot_general(
             oh, gm, dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_OH_PRECISION)
     cols = [jnp.zeros((L,), jnp.float32)] * F
     for tc, gs in _TABLE_GRAD_COLS:
         cols[tc] = acc[:, gs]

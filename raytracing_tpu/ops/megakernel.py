@@ -1108,7 +1108,7 @@ def trace_megakernel(
     unroll: bool | None = None,
     sort_mode: str = "alive",   # "alive" | "coherent" inter-phase compaction
     layout: str | None = None,  # "block" | "group" | None (auto)
-    want_ids: bool = False,     # also return per-bounce winner ids
+    want_ids: bool = False,     # True | "compacted": per-bounce winner ids
     want_counts: bool = False,  # also return per-ray exact bounce counts
     use_clusters: bool | None = None,  # block kernel AABB cluster culling
     regen=None,  # (perm (B,) i32) -> (tm, pix, smp): recompute instead of sort
@@ -1157,6 +1157,22 @@ def trace_megakernel(
     phase still pays the per-grid-step DMA fixed cost for every dead
     1024-ray block (~70% of that kernel's device time, trace
     2026-08-20).
+
+    ``want_ids="compacted"`` (round-5 sort diet): instead of restoring
+    the later-phase id words to camera order through the final unpermute
+    (7 extra sort operands at the bench shape), return them in the
+    *current compacted lane order* together with the composed
+    permutation, and let the consumer (replay_grads_sorted's
+    ``compacted=`` path) move them straight to its length-sorted order —
+    the camera-order detour is pure data movement. Extras become
+    ``ids0 (pd0, B) camera order`` (phase 1 is recorded under the
+    identity permutation), ``later_words (W, B) compacted order`` (the
+    per-phase packed words of phases 2.., concatenated; W=0 for a
+    single phase), ``perm (B,) i32`` (camera index per compacted lane),
+    then with ``want_counts`` BOTH ``counts`` (camera order, via the
+    unpermute) and ``counts_c`` (compacted order, free). Radiance is
+    still returned in camera order — only the id columns skip the
+    unpermute.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1511,11 +1527,26 @@ def trace_megakernel(
     # the restore can be regional too (perm values of region r all lie in
     # region r's index range).
     counts = None
+    counts_c = None
+    perm_out = None
+    later_words = None
+    compacted_ids = want_ids == "compacted"
     if len(phase_depths) > 1:
         un_ops = [perm, state["rr"].reshape(B), state["rg"].reshape(B),
                   state["rb"].reshape(B)]
         if want_counts:
             un_ops.append(state["bcc"].reshape(B))
+            if compacted_ids:
+                counts_c = state["bcc"].reshape(B)
+        if compacted_ids:
+            # later-phase id words stay in compacted order (doc above):
+            # the unpermute slims to 5 operands and the consumer's
+            # length sort picks the words up directly
+            perm_out = perm
+            cols = [c for p in pending_ids for c in p["cols"]]
+            later_words = (jnp.stack(cols, axis=0) if cols
+                           else jnp.zeros((0, B), jnp.int32))
+            pending_ids = []
         n_un = len(un_ops)
         for p in pending_ids:  # deferred later-phase id words (see above)
             un_ops.extend(p["cols"])
@@ -1548,12 +1579,20 @@ def trace_megakernel(
         rb = state["rb"].reshape(B)
         if want_counts:
             counts = state["bcc"].reshape(B)
+            counts_c = counts
+        if compacted_ids:  # single phase: camera order IS compacted order
+            perm_out = jnp.arange(B, dtype=jnp.int32)
+            later_words = jnp.zeros((0, B), jnp.int32)
     radiance = jnp.stack([rr, rg, rb], axis=-1)
     extras = []
-    if want_ids:
+    if compacted_ids:
+        extras += [jnp.concatenate(ids_rows, axis=0), later_words, perm_out]
+    elif want_ids:
         extras.append(jnp.concatenate(ids_rows, axis=0))
     if want_counts:
         extras.append(counts)
+        if compacted_ids:
+            extras.append(counts_c)
     if phase_prefixes is not None:
         extras.append(prefix_ok)
     if extras:

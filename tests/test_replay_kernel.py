@@ -260,3 +260,59 @@ class TestReplayKernel:
         assert bool(ok_rg)
         np.testing.assert_array_equal(np.asarray(gc_rg), np.asarray(gc_p))
         np.testing.assert_array_equal(np.asarray(gr_rg), np.asarray(gr_p))
+
+    @pytest.mark.parametrize("name", ["bouncing_spheres", "cornell_box"])
+    def test_replay_grads_sorted_compacted(self, name):
+        """want_ids="compacted" (the round-5 sort diet: later-phase id
+        words stay in compacted order and meet the replay's length sort
+        directly, skipping the camera-order unpermute) must be
+        BIT-identical to the unified camera-order ids path — the two
+        sorts run over the same unique key set, so every sorted column
+        and every one-hot dot is the same."""
+        from raytracing_tpu.diff.replay_fast import build_replay_table
+        from raytracing_tpu.diff.replay_kernel import replay_grads_sorted
+        from raytracing_tpu.ops.megakernel import (
+            build_mega_scene, trace_megakernel,
+        )
+
+        (scene, _, o, d, t, pix, smp, bg, depth, seed,
+         act0) = _setup(name, depth=6)
+        mega = build_mega_scene(scene)
+        phases = [2, 2, 2]
+        common = dict(background=bg, max_depth=depth,
+                      seed=jnp.uint32(seed), interpret=True, active0=act0,
+                      want_counts=True, layout="block",
+                      phase_depths=phases)
+        rad_u, _, ids_u, cnt_u = trace_megakernel(
+            mega, o, d, t, pix, smp, want_ids=True, **common)
+        rad_c, _, ids0, later, perm, cnt_cam, cnt_c = trace_megakernel(
+            mega, o, d, t, pix, smp, want_ids="compacted", **common)
+        # radiance + camera-order counts are unaffected by the id routing
+        np.testing.assert_array_equal(np.asarray(rad_c), np.asarray(rad_u))
+        np.testing.assert_array_equal(np.asarray(cnt_cam),
+                                      np.asarray(cnt_u))
+        # compacted-order counts are the camera counts under perm
+        np.testing.assert_array_equal(
+            np.asarray(cnt_c), np.asarray(cnt_u)[np.asarray(perm)])
+
+        B = o.shape[0]
+        rng = np.random.default_rng(3)
+        rad_bar = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+        table = build_replay_table(scene)
+
+        def regen(orig):
+            return o[orig], d[orig], t[orig], pix[orig], smp[orig]
+
+        tbar_ref, ok_ref = replay_grads_sorted(
+            scene, table, ids_u, o, d, t, pix, smp, bg, depth,
+            jnp.uint32(seed), rad_bar, cnt_u, ray_regen=regen)
+        bundle = dict(ids0=ids0, later=later, perm=perm, counts_c=cnt_c,
+                      phase_depths=tuple(phases),
+                      pack=mega.n_prims <= 1023)
+        tbar_new, ok_new = replay_grads_sorted(
+            scene, table, None, o, d, t, pix, smp, bg, depth,
+            jnp.uint32(seed), rad_bar, cnt_u, ray_regen=regen,
+            compacted=bundle)
+        assert bool(ok_ref) and bool(ok_new)
+        np.testing.assert_array_equal(np.asarray(tbar_new),
+                                      np.asarray(tbar_ref))
